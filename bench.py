@@ -1,0 +1,67 @@
+"""Headline benchmark: MPPI solves/s per chip at the north-star shape.
+
+Runs the scan-compiled closed-loop simulator (solve K=1024 samples over an
+H=50 horizon + plant step, per iteration) on one chip and reports
+steady-state solves/s.  Dispatch-amortised per SURVEY.md §6(e): the solve
+loop runs ON DEVICE inside one ``lax.scan`` program; timing wraps
+``block_until_ready``.
+
+Baseline: the reference implementation measured ~199 ms/solve at K=100,T=30
+on one CPU core and scales ~linearly in K·T ⇒ ~7.0 s/solve at K=1024,H=50
+(BASELINE.md) ⇒ 0.143 solves/s.  BASELINE.json north-star target: ≥1000.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REFERENCE_SOLVES_PER_S = 1.0 / 6.96  # extrapolated reference @ K=1024, H=50
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from mppi_robotarm_tpu import (
+        benchmark_preset, init_sim, simulate, synth_circle_path,
+    )
+
+    arm, cfg, sim = benchmark_preset()          # K=1024, H=50
+    ref_path = jnp.asarray(synth_circle_path(4000))
+    steps = 200
+
+    state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
+    # Warmup / compile.
+    out = simulate(arm, cfg, sim, ref_path, state0, steps)
+    jax.block_until_ready(out)
+
+    reps = 3
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = simulate(arm, cfg, sim, ref_path, state0, steps)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    solves_per_s = steps / best
+
+    # Sanity: the run must actually track (guards against a degenerate bench).
+    rec = out[1]
+    ee = np.asarray(rec.ee)
+    err = np.linalg.norm(ee[:30] - np.asarray(ref_path)[1:31, 0:2], axis=1)
+    assert np.isfinite(solves_per_s) and err.mean() < 0.05, (
+        solves_per_s, err.mean())
+
+    print(json.dumps({
+        "metric": "mppi_solves_per_s_per_chip_K1024_H50",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,47 @@
+"""Test harness configuration (SURVEY.md §4.4).
+
+Forces the CPU backend with 8 virtual devices BEFORE jax import so sharding
+tests exercise real psum/pmin collectives without TPU hardware, and enables
+x64 so golden-parity tests compare against the float64 NumPy oracle at tight
+tolerance.  fp32 (TPU-realistic) precision is tested by passing explicit
+float32 arrays.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The container's sitecustomize force-registers the axon TPU backend and
+# overrides JAX_PLATFORMS; pin the tests to CPU explicitly (the backend is
+# initialised lazily, so this takes effect as long as it runs pre-first-use).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def ref_path():
+    """The reference circle path (xydq_circle.txt, cols 0:4) as float64."""
+    path = os.path.join("/root/reference", "xydq_circle.txt")
+    if os.path.exists(path):
+        return np.loadtxt(path)[:, 0:4]
+    # Self-contained fallback: synthesised circle path.
+    from mppi_robotarm_tpu.sim.paths import synth_circle_path
+    return synth_circle_path(2000, dtype=np.float64)
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,125 @@
+"""Sharded-solver tests on an 8-virtual-device CPU mesh (SURVEY.md §4.4).
+
+Verifies that sharding the K sample axis (psum/pmin collectives) and the
+scenario batch axis is numerically transparent: the sharded solve must equal
+the single-chip solve on the same inputs.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig
+from mppi_robotarm_tpu.mppi.solver import MPPIState, init_state, solve
+from mppi_robotarm_tpu.parallel.mesh import make_mesh
+from mppi_robotarm_tpu.parallel.sharded import (
+    make_sharded_sim_step,
+    make_sharded_solve,
+)
+
+ARM = ArmParams()
+X0 = np.array([1.152198236517471885, -1.266101672070702344, 0.0, 0.0])
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual CPU devices"
+)
+
+
+def _batch_inputs(cfg, batch, rng, dtype):
+    obs = np.tile(X0, (batch, 1)) + rng.normal(scale=0.01, size=(batch, 4))
+    u_prev = np.tile(np.asarray(cfg.warm_start), (batch, cfg.horizon, 1))
+    wp_idx = np.zeros((batch,), np.int32)
+    eps = rng.normal(size=(batch, cfg.num_samples, cfg.horizon, 2)) * np.sqrt(20.0)
+    return (jnp.asarray(obs, dtype), jnp.asarray(u_prev, dtype),
+            jnp.asarray(wp_idx), jnp.asarray(eps, dtype))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 2), (2, 4), (1, 8)])
+def test_sharded_solve_matches_single_chip(ref_path, rng, mesh_shape):
+    data_ax, samples_ax = mesh_shape
+    mesh = make_mesh(data=data_ax, samples=samples_ax)
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=64, horizon=12)
+    batch = 2 * data_ax
+    obs, u_prev, wp_idx, eps = _batch_inputs(cfg, batch, rng, jnp.float64)
+    ref = jnp.asarray(ref_path)
+
+    sharded = make_sharded_solve(ARM, cfg, mesh)
+    u0_s, useq_s, unext_s, wp_s, end_s, s_s, w_s = sharded(
+        ref, obs, u_prev, wp_idx, eps)
+
+    for b in range(batch):
+        res = solve(ARM, cfg, ref, obs[b],
+                    MPPIState(u_prev=u_prev[b], wp_idx=wp_idx[b]),
+                    eps=eps[b])
+        np.testing.assert_allclose(np.asarray(u0_s[b]), np.asarray(res.u0),
+                                   rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(useq_s[b]),
+                                   np.asarray(res.u_seq), rtol=1e-9, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(s_s[b]), np.asarray(res.costs),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(w_s[b]), np.asarray(res.weights),
+                                   rtol=1e-8, atol=1e-12)
+        assert int(wp_s[b]) == int(res.state.wp_idx)
+
+
+def test_exploration_split_respects_global_index(ref_path, rng):
+    """Q9 under sample sharding: the exploitation cutoff is a *global* sample
+    index, so shard-local offsets must be applied."""
+    mesh = make_mesh(data=1, samples=8)
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=64, horizon=8,
+                              exploration=0.25)
+    obs, u_prev, wp_idx, eps = _batch_inputs(cfg, 1, rng, jnp.float64)
+    ref = jnp.asarray(ref_path)
+    sharded = make_sharded_solve(ARM, cfg, mesh)
+    u0_s, _, _, _, _, s_s, _ = sharded(ref, obs, u_prev, wp_idx, eps)
+    res = solve(ARM, cfg, ref, obs[0],
+                MPPIState(u_prev=u_prev[0], wp_idx=wp_idx[0]), eps=eps[0])
+    np.testing.assert_allclose(np.asarray(s_s[0]), np.asarray(res.costs),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(u0_s[0]), np.asarray(res.u0),
+                               rtol=1e-9, atol=1e-9)
+
+
+def test_sharded_sim_step_runs_and_is_finite(ref_path):
+    """The full sharded closed-loop step (on-device noise) executes and stays
+    finite on a 4x2 mesh."""
+    mesh = make_mesh(data=4, samples=2)
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=16, horizon=6)
+    from mppi_robotarm_tpu.config import SimConfig
+    sim = SimConfig()
+    step_fn = make_sharded_sim_step(ARM, cfg, sim, mesh)
+    batch = 8
+    q = jnp.tile(jnp.asarray([X0[:2]], jnp.float32), (batch, 1))
+    dq = jnp.zeros((batch, 2), jnp.float32)
+    u_prev = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                      (batch, cfg.horizon, 1))
+    wp_idx = jnp.zeros((batch,), jnp.int32)
+    keys = jax.random.key_data(
+        jax.vmap(jax.random.PRNGKey)(jnp.arange(batch))).astype(jnp.uint32)
+    q2, dq2, up2, wp2, done, u0 = step_fn(jnp.asarray(ref_path, jnp.float32),
+                                          q, dq, u_prev, wp_idx, keys)
+    assert np.all(np.isfinite(np.asarray(q2)))
+    assert np.all(~np.asarray(done))
+    # different scenarios draw different noise -> different controls
+    assert not np.allclose(np.asarray(u0[0]), np.asarray(u0[1]))
+
+
+def test_dryrun_multichip_entrypoint():
+    """The driver-facing dry run compiles and executes on 8 CPU devices."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[0])))

@@ -1,0 +1,89 @@
+"""Closed-loop integration tests (SURVEY.md §4.3): scan sim vs oracle loop."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig, SimConfig
+from mppi_robotarm_tpu.ops.noise import sample_epsilon, sigma_cholesky
+from mppi_robotarm_tpu.sim.loop import init_sim, simulate, simulate_python
+from oracle import OracleMPPI, oracle_closed_loop
+
+ARM = ArmParams()
+CFG = MPPIConfig()
+SIM = SimConfig()
+N_STEPS = 20
+
+
+def test_closed_loop_parity_f64(ref_path, rng):
+    """20 closed-loop steps with injected noise match the oracle loop
+    (run.py:48-71 semantics incl. the dt vs 2dt mismatch, Q2)."""
+    eps_list = [rng.normal(size=(CFG.num_samples, CFG.horizon, 2))
+                * np.sqrt(20.0) for _ in range(N_STEPS)]
+    oracle = OracleMPPI(ref_path)
+    recs_exp = oracle_closed_loop(oracle, SIM.q0, SIM.dq0, SIM.dt, N_STEPS,
+                                  eps_list)
+
+    state = init_sim(CFG, SIM, jax.random.PRNGKey(0), dtype=jnp.float64)
+    _, recs = simulate_python(ARM, CFG, SIM, jnp.asarray(ref_path), state,
+                              N_STEPS,
+                              eps_per_step=[jnp.asarray(e) for e in eps_list])
+    for i in range(N_STEPS):
+        q_got, dq_got, u_got, idx_got = recs[i]
+        q_exp, dq_exp, u_exp, idx_exp = recs_exp[i]
+        np.testing.assert_allclose(q_got, q_exp, rtol=1e-7, atol=1e-9,
+                                   err_msg=f"step {i}")
+        np.testing.assert_allclose(dq_got, dq_exp, rtol=1e-6, atol=1e-8,
+                                   err_msg=f"step {i}")
+        np.testing.assert_allclose(u_got, u_exp, rtol=1e-7, atol=1e-7,
+                                   err_msg=f"step {i}")
+        assert idx_got == idx_exp, f"step {i}"
+
+
+def test_scan_sim_matches_python_driver(ref_path):
+    """The lax.scan-compiled loop == the host-loop driver, same noise."""
+    steps = 8
+    key0 = jax.random.PRNGKey(42)
+    state0 = init_sim(CFG, SIM, key0, dtype=jnp.float64)
+    _, rec = simulate(ARM, CFG, SIM, jnp.asarray(ref_path), state0, steps)
+
+    # replay the scan's key-split sequence on the host
+    chol = sigma_cholesky(CFG.sigma)
+    key = key0
+    eps_list = []
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        eps_list.append(sample_epsilon(sub, CFG.num_samples, CFG.horizon,
+                                       chol, jnp.float64))
+    state0b = init_sim(CFG, SIM, key0, dtype=jnp.float64)
+    _, recs_py = simulate_python(ARM, CFG, SIM, jnp.asarray(ref_path), state0b,
+                                 steps, eps_per_step=eps_list)
+    for i in range(steps):
+        np.testing.assert_allclose(np.asarray(rec.q[i]), recs_py[i][0],
+                                   rtol=1e-9, atol=1e-12, err_msg=f"step {i}")
+        np.testing.assert_allclose(np.asarray(rec.u[i]), recs_py[i][2],
+                                   rtol=1e-9, atol=1e-10, err_msg=f"step {i}")
+
+
+def test_tracking_error_sane(ref_path):
+    """Config-1-style gate: closed-loop EE error stays in the mm range
+    (reference measured ~0.9 mm mean over the first 30 steps, BASELINE.md)."""
+    steps = 30
+    state0 = init_sim(CFG, SIM, jax.random.PRNGKey(1), dtype=jnp.float64)
+    _, rec = simulate(ARM, CFG, SIM, jnp.asarray(ref_path), state0, steps)
+    ee = np.asarray(rec.ee)
+    ref = ref_path[1:steps + 1, 0:2]
+    err = np.linalg.norm(ee - ref, axis=1)
+    assert err.mean() < 5e-3, f"mean EE error {err.mean()*1e3:.2f} mm"
+    assert not bool(rec.done[-1])
+
+
+def test_disturbance_injection(ref_path):
+    """SURVEY.md §5.3: the plant disturbance hook perturbs the trajectory."""
+    import dataclasses
+    sim_d = dataclasses.replace(SIM, disturbance=(5.0, -5.0))
+    s0 = init_sim(CFG, SIM, jax.random.PRNGKey(2), dtype=jnp.float64)
+    _, rec_a = simulate(ARM, CFG, SIM, jnp.asarray(ref_path), s0, 5)
+    s0b = init_sim(CFG, sim_d, jax.random.PRNGKey(2), dtype=jnp.float64)
+    _, rec_b = simulate(ARM, CFG, sim_d, jnp.asarray(ref_path), s0b, 5)
+    assert not np.allclose(np.asarray(rec_a.q), np.asarray(rec_b.q))
