@@ -25,7 +25,16 @@ from .mppi.solver import (
     solve,
     viz_rollouts,
 )
-from .sim.loop import SimRecord, SimState, init_sim, simulate, simulate_python
+from .sim.loop import (
+    SimRecord,
+    SimState,
+    init_sim,
+    init_sim_batch,
+    simulate,
+    simulate_batch,
+    simulate_python,
+)
+from .sim.pathgen import generate_circle_path, save_path_file
 from .sim.paths import load_ref_path, synth_circle_path
 
 __version__ = "0.1.0"
@@ -36,6 +45,8 @@ __all__ = [
     "config_from_json", "config_to_json",
     "MPPIState", "SolveResult", "VizResult", "init_state", "solve",
     "viz_rollouts",
-    "SimRecord", "SimState", "init_sim", "simulate", "simulate_python",
+    "SimRecord", "SimState", "init_sim", "init_sim_batch", "simulate",
+    "simulate_batch", "simulate_python", "generate_circle_path",
+    "save_path_file",
     "load_ref_path", "synth_circle_path",
 ]

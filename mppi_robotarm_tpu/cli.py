@@ -1,0 +1,138 @@
+"""Command-line driver — the TPU-native replacement for reference run.py.
+
+Runs the scan-compiled closed-loop tracking simulation, prints structured
+metrics, optionally saves the reference-parity figures and checkpoints.
+
+    python -m mppi_robotarm_tpu.cli --ref-path xydq_circle.txt --steps 1500 \
+        --out-dir results/ --figures
+
+Configs load from JSON (--config) on top of the circle-tracking preset;
+individual flags override.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="mppi_robotarm_tpu",
+        description="TPU-native MPPI path tracking for the 2-link arm",
+    )
+    p.add_argument("--ref-path", default=None,
+                   help="4/6-col path file; default: synthesised circle")
+    p.add_argument("--config", default=None, help="JSON config file")
+    p.add_argument("--steps", type=int, default=None,
+                   help="closed-loop steps (default from SimConfig: 1500)")
+    p.add_argument("--samples", type=int, default=None, help="K")
+    p.add_argument("--horizon", type=int, default=None, help="T")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-dir", default=None,
+                   help="save records (.npz), metrics (.json), figures")
+    p.add_argument("--figures", action="store_true",
+                   help="write reference-parity result figures")
+    p.add_argument("--checkpoint", default=None,
+                   help="resume from this checkpoint; also saved at the end")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="periodic checkpoint cadence in steps (0 = off)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace into this dir")
+    p.add_argument("--metrics-every", type=int, default=100)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from . import config as cfg_mod
+    from .sim.loop import init_sim, simulate
+    from .sim.paths import load_ref_path, synth_circle_path
+    from .utils.checkpoint import load_checkpoint, save_checkpoint
+    from .utils.metrics import MetricsLogger, tracking_errors
+    from .utils.timing import trace
+
+    if args.config:
+        with open(args.config) as f:
+            arm, mppi, sim = cfg_mod.config_from_json(f.read())
+    else:
+        arm, mppi, sim = cfg_mod.circle_tracking_preset()
+    if args.samples:
+        mppi = dataclasses.replace(mppi, num_samples=args.samples)
+    if args.horizon:
+        mppi = dataclasses.replace(mppi, horizon=args.horizon)
+    steps = args.steps if args.steps is not None else sim.num_steps
+
+    ref = (load_ref_path(args.ref_path) if args.ref_path
+           else synth_circle_path(max(2000, steps + mppi.search_idx_len + 2)))
+    ref_j = jnp.asarray(ref)
+
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        state = load_checkpoint(args.checkpoint)
+        print(f"resumed from {args.checkpoint} at step {int(state.step)}",
+              file=sys.stderr)
+    else:
+        state = init_sim(mppi, sim, jax.random.PRNGKey(args.seed))
+
+    logger = MetricsLogger(every=args.metrics_every)
+    t0 = time.perf_counter()
+    with trace(args.profile_dir):
+        if args.checkpoint_every > 0:
+            rec_parts = []
+            done_steps = 0
+            while done_steps < steps:
+                chunk = min(args.checkpoint_every, steps - done_steps)
+                state, rec = simulate(arm, mppi, sim, ref_j, state, chunk)
+                jax.block_until_ready(rec.q)
+                rec_parts.append(rec)
+                done_steps += chunk
+                if args.checkpoint:
+                    save_checkpoint(args.checkpoint, state)
+            rec = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=0), *rec_parts)
+        else:
+            state, rec = simulate(arm, mppi, sim, ref_j, state, steps)
+            jax.block_until_ready(rec.q)
+    wall = time.perf_counter() - t0
+
+    errs = tracking_errors(rec.ee, ref[1:steps + 1, 0:2])
+    summary = {
+        "steps": steps, "K": mppi.num_samples, "T": mppi.horizon,
+        "wall_s": round(wall, 3),
+        "solves_per_s": round(steps / wall, 1),
+        **{k: round(v, 6) for k, v in errs.items()},
+        "final_wp_idx": int(state.mppi.wp_idx),
+        "path_end": bool(state.done),
+    }
+    logger.log_record(rec, stride=args.metrics_every)
+    print(json.dumps(summary))
+
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        np.savez(os.path.join(args.out_dir, "record.npz"),
+                 **{f: np.asarray(getattr(rec, f)) for f in rec._fields})
+        with open(os.path.join(args.out_dir, "summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
+        if args.figures:
+            from .utils.plotting import plot_results
+            fig1, fig2 = plot_results(rec, ref, sim.dt)
+            fig1.savefig(os.path.join(args.out_dir, "figure1_tracking.png"),
+                         dpi=150)
+            fig2.savefig(os.path.join(args.out_dir, "figure2_controls.png"),
+                         dpi=150)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, state)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

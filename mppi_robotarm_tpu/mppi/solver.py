@@ -69,7 +69,7 @@ def shift_warm_start(u_seq: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([u_seq[1:], u_seq[-1:]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("arm", "cfg"))
+@partial(jax.jit, static_argnames=("arm", "cfg", "backend"))
 def solve(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -78,21 +78,24 @@ def solve(
     state: MPPIState,
     key: Optional[jax.Array] = None,
     eps: Optional[jnp.ndarray] = None,
+    backend: str = "xla",
 ) -> SolveResult:
     """One MPPI solve — the TPU-native ``calc_control_input`` (control.py:67-152).
 
     Noise comes either from an on-device PRNG ``key`` or an injected ``eps``
     (the golden-parity seam — tests feed the identical noise to the NumPy
     oracle).  Exactly one of the two must be provided.
+
+    ``backend``: 'xla' (portable vmap/scan rollout, any dtype) or 'pallas'
+    (the fused single-kernel TPU path, float32, on-chip PRNG in key mode —
+    ops/pallas_rollout.py).
     """
     if (key is None) == (eps is None):
         raise ValueError("provide exactly one of key= or eps=")
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
     cfg.validate()
     dtype = state.u_prev.dtype
-    if eps is None:
-        chol = sigma_cholesky(cfg.sigma)
-        eps = sample_epsilon(key, cfg.num_samples, cfg.horizon, chol, dtype)
-    eps = eps.astype(dtype)
 
     # Advance the frozen waypoint index from the observed state (Q5), then
     # re-slice the window at the new index for all K×T lookups.
@@ -103,13 +106,37 @@ def solve(
     )
     path_end = wp_idx >= ref_path.shape[0] - 1      # control.py:76-78 (Q6)
 
-    s, _ = rollout_costs(
-        arm, cfg, observed_x, state.u_prev, eps, window, valid,
-        jnp.asarray(sigma_inverse(cfg.sigma), dtype=dtype),
-    )
-    w = mppi_weights(s, cfg.lam)
-    w_eps = jnp.einsum("k,ktu->tu", w, eps)          # control.py:115-118
-    w_eps = median_filter_reflect(w_eps, cfg.filter_window)  # Q10
+    if backend == "pallas":
+        from ..ops.pallas_rollout import pallas_solve_core
+
+        nvalid = jnp.sum(valid.astype(jnp.float32))
+        if eps is None:
+            # hardware PRNG seed derived from the threefry key
+            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            w_eps_raw, s, eps = pallas_solve_core(
+                arm, cfg, observed_x, state.u_prev, window, nvalid, seed=seed)
+        else:
+            w_eps_raw, s, eps = pallas_solve_core(
+                arm, cfg, observed_x, state.u_prev, window, nvalid,
+                eps=eps.astype(jnp.float32))
+        w_eps_raw = w_eps_raw.astype(dtype)
+        s = s.astype(dtype)
+        w = mppi_weights(s, cfg.lam)
+    else:
+        if eps is None:
+            chol = sigma_cholesky(cfg.sigma)
+            eps = sample_epsilon(key, cfg.num_samples, cfg.horizon, chol,
+                                 dtype)
+        eps = eps.astype(dtype)
+        s, _ = rollout_costs(
+            arm, cfg, observed_x, state.u_prev, eps, window, valid,
+            jnp.asarray(sigma_inverse(cfg.sigma), dtype=dtype),
+        )
+        w = mppi_weights(s, cfg.lam)
+        w_eps_raw = jnp.einsum("k,ktu->tu", w, eps)  # control.py:115-118
+
+    w_eps = median_filter_reflect(w_eps_raw, cfg.filter_window)  # Q10
     u_seq = state.u_prev + w_eps                     # control.py:126 (Q3)
 
     next_state = MPPIState(u_prev=shift_warm_start(u_seq), wp_idx=wp_idx)

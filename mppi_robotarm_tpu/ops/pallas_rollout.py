@@ -1,0 +1,342 @@
+"""Fused Pallas TPU kernel: the entire MPPI sample sweep in ONE kernel.
+
+The XLA path (ops/rollout.py) compiles the T-step scan into ~T dispatched
+fusions with HBM round-trips for the (K,) state between steps.  This kernel
+fuses, per K-tile and entirely VMEM-resident:
+
+    on-chip PRNG noise (threefry-free: hardware prng_random_bits + Box-Muller)
+    → T-step semi-implicit Euler rollout (analytic 2x2 inverse, quirk Q1)
+    → per-step windowed nearest-waypoint cost (frozen window, Q5/Q7)
+    → control-affine cost term γ·uᵀΣ⁻¹v
+    → online-softmax accumulation of η and Σₖ wₖ·εₖ across K-tiles
+      (flash-attention-style running-min rescaling, so K can exceed a tile)
+
+Outputs: raw Σwε (T,2) — the caller applies the median filter and warm-start
+shift (tiny, XLA-fused) — plus per-sample costs S (for metrics/viz parity).
+
+Grid programs on a TPU core run sequentially, so cross-tile accumulators
+live in VMEM/SMEM scratch that persists across grid steps; the last program
+normalises and writes the (T,2) reduction.
+
+Two noise modes:
+  * ``seed`` mode — noise generated on-chip (production; reference quirk Q8
+    replaced by explicit seeding);
+  * ``eps`` mode — externally supplied noise, bit-identical semantics to the
+    XLA path (the golden-parity seam, SURVEY.md §7(c)).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ArmParams, MPPIConfig
+from .noise import sigma_cholesky, sigma_inverse
+
+_LANES = 128
+_TWO_PI = 2.0 * math.pi
+
+
+def _pick_tile(k: int) -> int:
+    """K-tile size: whole K when small, else the largest 1024..8192 divisor."""
+    if k <= 8192:
+        return k
+    for cand in (8192, 4096, 2048, 1024):
+        if k % cand == 0:
+            return cand
+    raise ValueError(f"K={k} must be a multiple of 1024 when K > 8192")
+
+
+def _uniform_from_bits(bits):
+    """uint32 -> uniform float32 in (0, 1]: (bits >> 8) * 2^-24 + 2^-25.
+
+    The top-24-bit value is re-cast through int32 (always non-negative after
+    the shift) because Mosaic has no uint32→float32 conversion.
+    """
+    b = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                    jnp.uint32(8))
+    b = pltpu.bitcast(b, jnp.int32)
+    return b.astype(jnp.float32) * (1.0 / (1 << 24)) + (0.5 / (1 << 24))
+
+
+def _box_muller(shape):
+    """Two standard-normal arrays of ``shape`` from the hardware PRNG."""
+    u1 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    u2 = _uniform_from_bits(pltpu.prng_random_bits(shape))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    theta = _TWO_PI * u2
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
+    """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)."""
+    c2 = jnp.cos(q2)
+    m11 = (p.m1 * p.lc1 ** 2 + p.l1
+           + p.m2 * (p.l1 ** 2 + p.lc2 ** 2 + 2.0 * p.l1 * p.lc2 * c2) + p.l2)
+    m12 = p.m2 * p.l1 * p.lc2 * c2 + p.m2 * p.lc2 ** 2 + p.l2
+    m22 = p.m2 * p.lc2 ** 2 + p.l2
+    h = p.m2 * p.l1 * p.lc2 * jnp.sin(q2)
+    c1 = jnp.cos(q1)
+    c12 = jnp.cos(q1 + q2)
+    g1 = p.m1 * p.lc1 * p.g * c1 + p.m2 * p.g * (p.lc2 * c12 + p.l1 * c1)
+    g2 = p.m2 * p.lc2 * p.g * c12
+    r1 = v1 - (-h * dq2 * dq1 + (-h * dq1 - h * dq2) * dq2) - g1
+    r2 = v2 - (h * dq1 * dq1) - g2
+    inv_det = 1.0 / (m11 * m22 - m12 * m12)
+    ddq1 = (m22 * r1 - m12 * r2) * inv_det
+    ddq2 = (-m12 * r1 + m11 * r2) * inv_det
+    dq1 = dq1 + ddq1 * dt
+    dq2 = dq2 + ddq2 * dt
+    return q1 + dq1 * dt, q2 + dq2 * dt, dq1, dq2
+
+
+def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
+                   cfg: MPPIConfig, window_len: int):
+    """Frozen-window nearest-waypoint cost on (S, 128) tiles.
+
+    Rolled argmin over the W=30 window with first-win tie-breaking
+    (strict ``<``), matching control.py:208-215.  A ``fori_loop`` keeps the
+    kernel graph small (compile time) — the loop body is pure VPU work.
+    """
+    x = cfg.l1 * jnp.cos(q1) + cfg.l2 * jnp.cos(q1 + q2)
+    y = cfg.l1 * jnp.sin(q1) + cfg.l2 * jnp.sin(q1 + q2)
+    inf = jnp.float32(np.inf)
+    zero = jnp.zeros(x.shape, jnp.float32)
+
+    def body(j, c):
+        best_d, b0, b1, b2, b3 = c
+        dx = x - win_ref[j, 0]
+        dy = y - win_ref[j, 1]
+        d = (dx * dx + dy * dy) * cfg.dist_scale
+        d = jnp.where(j.astype(jnp.float32) < nvalid, d, inf)
+        better = d < best_d
+        return (jnp.where(better, d, best_d),
+                jnp.where(better, win_ref[j, 0], b0),
+                jnp.where(better, win_ref[j, 1], b1),
+                jnp.where(better, win_ref[j, 2], b2),
+                jnp.where(better, win_ref[j, 3], b3))
+
+    _, b0, b1, b2, b3 = jax.lax.fori_loop(
+        0, window_len, body, (jnp.full(x.shape, inf, jnp.float32),
+                              zero, zero, zero, zero))
+    return (w0 * (x - b0) ** 2 + w1 * (y - b1) ** 2
+            + w2 * (dq1 - b2) ** 2 + w3 * (dq2 - b3) ** 2) * cfg.cost_scale
+
+
+def _solve_kernel(
+    # scalar-prefetch / SMEM inputs
+    scalars_ref,     # SMEM (8,): [q1,q2,dq1,dq2, seed, nvalid, k_threshold, pad]
+    u_ref,           # SMEM (T, 2) nominal controls
+    su_ref,          # SMEM (T, 2) Σ⁻¹·u[t]
+    chol_ref,        # SMEM (3,)  [L11, L21, L22]
+    win_ref,         # VMEM (W, 4) + padding lanes? -> stored (W, 4) f32 in SMEM
+    eps_in_ref,      # VMEM (T2, S, 128) injected noise for this tile (or dummy)
+    # outputs
+    s_ref,           # VMEM (S, 128) per-sample costs for this tile
+    weps_ref,        # VMEM (T2pad, 128) raw Σwε, written by last program
+    eps_out_ref,     # VMEM (T2, S, 128) the noise actually used (viz/update parity)
+    # scratch
+    eps_buf,         # VMEM (T2, S, 128) noise for this tile
+    acc_buf,         # VMEM (T2pad, 128) running Σ e·ε (lane-duplicated scalar rows)
+    stat_ref,        # SMEM (2,) running [m, eta]
+    *,
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    tile: int,
+    use_prng: bool,
+):
+    T = cfg.horizon
+    sub = tile // _LANES
+    p_id = pl.program_id(0)
+    n_p = pl.num_programs(0)
+    dt = jnp.float32(cfg.delta_t)
+    lam = jnp.float32(cfg.lam)
+    gamma = jnp.float32(cfg.gamma)
+    stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
+    term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
+
+    q1_0 = scalars_ref[0]
+    q2_0 = scalars_ref[1]
+    dq1_0 = scalars_ref[2]
+    dq2_0 = scalars_ref[3]
+    nvalid = scalars_ref[5]
+    k_thresh = scalars_ref[6]
+
+    # ---- noise for this tile --------------------------------------------
+    if use_prng:
+        pltpu.prng_seed(scalars_ref[4].astype(jnp.int32), p_id)
+        l11 = chol_ref[0]
+        l21 = chol_ref[1]
+        l22 = chol_ref[2]
+
+        def gen_body(t, _):
+            z1, z2 = _box_muller((sub, _LANES))
+            eps_buf[pl.ds(2 * t, 1)] = (l11 * z1)[None]
+            eps_buf[pl.ds(2 * t + 1, 1)] = (l21 * z1 + l22 * z2)[None]
+            return 0
+
+        jax.lax.fori_loop(0, T, gen_body, 0)
+    else:
+        eps_buf[...] = eps_in_ref[...]
+    eps_out_ref[...] = eps_buf[...]
+
+    # ---- rollout + cost --------------------------------------------------
+    shape = (sub, _LANES)
+    q1 = jnp.full(shape, q1_0, jnp.float32)
+    q2 = jnp.full(shape, q2_0, jnp.float32)
+    dq1 = jnp.full(shape, dq1_0, jnp.float32)
+    dq2 = jnp.full(shape, dq2_0, jnp.float32)
+    s = jnp.zeros(shape, jnp.float32)
+    # global sample index for the exploration split (Q9)
+    k_global = (p_id * tile
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _LANES
+                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(
+                    jnp.float32)
+    exploit = k_global < k_thresh
+
+    def roll_body(t, carry):
+        q1, q2, dq1, dq2, s = carry
+        e1 = eps_buf[pl.ds(2 * t, 1)][0]
+        e2 = eps_buf[pl.ds(2 * t + 1, 1)][0]
+        v1 = jnp.where(exploit, u_ref[t, 0] + e1, e1)
+        v2 = jnp.where(exploit, u_ref[t, 1] + e2, e2)
+        if cfg.u_clamp is not None:
+            v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+            v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+        q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, arm)
+        s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
+                               *stage_w, cfg=cfg,
+                               window_len=cfg.search_idx_len)
+        s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
+        return q1, q2, dq1, dq2, s
+
+    q1, q2, dq1, dq2, s = jax.lax.fori_loop(
+        0, T, roll_body, (q1, q2, dq1, dq2, s))
+    s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
+                           cfg=cfg, window_len=cfg.search_idx_len)
+    s_ref[...] = s
+
+    # ---- online-softmax cross-tile accumulation --------------------------
+    m_tile = jnp.min(s)
+
+    @pl.when(p_id == 0)
+    def _init():
+        stat_ref[0] = m_tile
+        stat_ref[1] = jnp.float32(0.0)
+        acc_buf[...] = jnp.zeros_like(acc_buf)
+
+    m_old = stat_ref[0]
+    m_new = jnp.minimum(m_old, m_tile)
+    rescale = jnp.exp((m_new - m_old) / lam)   # ≤ 1, applied to old stats
+    e = jnp.exp(-(s - m_new) / lam)            # (sub, 128)
+    stat_ref[0] = m_new
+    stat_ref[1] = stat_ref[1] * rescale + jnp.sum(e)
+
+    def acc_body(r, _):
+        contrib = jnp.sum(e * eps_buf[pl.ds(r, 1)][0])
+        acc_buf[pl.ds(r, 1)] = acc_buf[pl.ds(r, 1)] * rescale + contrib
+        return 0
+
+    jax.lax.fori_loop(0, 2 * T, acc_body, 0)
+
+    @pl.when(p_id == n_p - 1)
+    def _finalize():
+        weps_ref[...] = acc_buf[...] / stat_ref[1]
+
+
+def pallas_solve_core(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    x0: jnp.ndarray,          # (4,) f32
+    u: jnp.ndarray,           # (T, 2) f32
+    window: jnp.ndarray,      # (W, 4) f32 frozen waypoint window
+    nvalid: jnp.ndarray,      # () number of valid window rows
+    seed: Optional[jnp.ndarray] = None,   # () int32 — PRNG mode
+    eps: Optional[jnp.ndarray] = None,    # (K, T, 2) — injected mode
+    interpret: bool = False,
+    tile: Optional[int] = None,           # K-tile override (tests/tuning)
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run the fused kernel.  Returns (w_eps_raw (T,2), S (K,), eps (K,T,2))."""
+    if (seed is None) == (eps is None):
+        raise ValueError("provide exactly one of seed= or eps=")
+    K, T = cfg.num_samples, cfg.horizon
+    W = cfg.search_idx_len
+    tile = tile or _pick_tile(K)
+    if K % tile or tile % _LANES:
+        raise ValueError(f"K={K} must be a multiple of {_LANES}")
+    n_tiles = K // tile
+    sub = tile // _LANES
+    use_prng = eps is None
+
+    x0 = x0.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
+    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
+    su = u @ jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).T  # (T,2)
+    k_thresh = jnp.float32((1.0 - cfg.exploration) * K)
+    seed_v = (seed.astype(jnp.float32) if seed is not None
+              else jnp.float32(0.0))
+    scalars = jnp.concatenate([
+        x0,
+        jnp.stack([seed_v, nvalid.astype(jnp.float32), k_thresh,
+                   jnp.float32(0.0)]),
+    ])
+
+    if use_prng:
+        # dummy 1-element noise input (ignored by the kernel)
+        eps_tiled = jnp.zeros((n_tiles, 2 * T, sub, _LANES), jnp.float32)
+    else:
+        # (K, T, 2) -> (n_tiles, 2T, sub, 128) matching k_global layout
+        e = eps.astype(jnp.float32).reshape(n_tiles, sub, _LANES, T, 2)
+        eps_tiled = e.transpose(0, 3, 4, 1, 2).reshape(
+            n_tiles, 2 * T, sub, _LANES)
+
+    kernel = functools.partial(
+        _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng)
+
+    s_out, weps_out, eps_out = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # scalars
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # u
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # su
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # chol
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # window
+            pl.BlockSpec((None, 2 * T, sub, _LANES),
+                         lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                  # eps_in
+        ],
+        out_specs=[
+            pl.BlockSpec((None, sub, _LANES), lambda p: (p, 0, 0),
+                         memory_space=pltpu.VMEM),                  # S
+            pl.BlockSpec((2 * T, _LANES), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),                  # w_eps rows
+            pl.BlockSpec((None, 2 * T, sub, _LANES), lambda p: (p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                  # eps used
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, sub, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2 * T, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 2 * T, sub, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),          # eps_buf
+            pltpu.VMEM((2 * T, _LANES), jnp.float32),               # acc
+            pltpu.SMEM((2,), jnp.float32),                          # m, eta
+        ],
+        interpret=interpret,
+    )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
+
+    s_flat = s_out.reshape(K)
+    w_eps = weps_out[:, 0].reshape(T, 2)
+    eps_used = (eps_out.reshape(n_tiles, T, 2, sub, _LANES)
+                .transpose(0, 3, 4, 1, 2).reshape(K, T, 2))
+    return w_eps, s_flat, eps_used

@@ -95,7 +95,7 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh):
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                    P(DATA_AXIS), P(DATA_AXIS, SAMPLES_AXIS),
                    P(DATA_AXIS, SAMPLES_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 
@@ -144,7 +144,7 @@ def make_sharded_sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
                   P(DATA_AXIS)),
         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                    P(DATA_AXIS), P(DATA_AXIS)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)
 

@@ -82,15 +82,17 @@ def plant_step(arm: ArmParams, sim: SimConfig, q, dq, u):
 
 def sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
              ref_path: jnp.ndarray, state: SimState,
-             eps: Optional[jnp.ndarray] = None):
+             eps: Optional[jnp.ndarray] = None, backend: str = "xla"):
     """One closed-loop step: solve → plant → record.  Freezes when done."""
     observed = jnp.concatenate([state.q, state.dq])
     if eps is None:
         key, sub = jax.random.split(state.key)
-        res = solve(arm, cfg, ref_path, observed, state.mppi, key=sub)
+        res = solve(arm, cfg, ref_path, observed, state.mppi, key=sub,
+                    backend=backend)
     else:
         key = state.key
-        res = solve(arm, cfg, ref_path, observed, state.mppi, eps=eps)
+        res = solve(arm, cfg, ref_path, observed, state.mppi, eps=eps,
+                    backend=backend)
 
     done = jnp.logical_or(state.done, res.path_end)
     q_new, dq_new = plant_step(arm, sim, state.q, state.dq, res.u0)
@@ -112,7 +114,8 @@ def sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
     return next_state, res
 
 
-@partial(jax.jit, static_argnames=("arm", "cfg", "sim", "num_steps"))
+@partial(jax.jit,
+         static_argnames=("arm", "cfg", "sim", "num_steps", "backend"))
 def simulate(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -120,13 +123,15 @@ def simulate(
     ref_path: jnp.ndarray,
     state0: SimState,
     num_steps: int,
+    backend: str = "xla",
 ):
     """Scan-compiled closed loop (run.py:48-71 as ONE device program).
 
     Returns (final SimState, SimRecord of per-step arrays).
     """
     def body(state, step_i):
-        next_state, res = sim_step(arm, cfg, sim, ref_path, state)
+        next_state, res = sim_step(arm, cfg, sim, ref_path, state,
+                                   backend=backend)
         x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
         ref_row = lax.dynamic_slice_in_dim(
             ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
@@ -141,6 +146,68 @@ def simulate(
         return next_state, rec
 
     return lax.scan(body, state0, jnp.arange(num_steps))
+
+
+def init_sim_batch(cfg: MPPIConfig, sim: SimConfig, keys: jax.Array,
+                   q0=None, dq0=None, dtype=jnp.float32) -> SimState:
+    """Batched SimState for B parallel tracking scenarios (BASELINE config 4).
+
+    ``keys``: (B,)-batched PRNG keys; ``q0``/``dq0``: optional (B, 2)
+    per-scenario initial states (default: the preset initial state).
+    """
+    b = keys.shape[0]
+    tile = lambda v: jnp.broadcast_to(jnp.asarray(v, dtype), (b, 2))
+    return SimState(
+        step=jnp.zeros((b,), jnp.int32),
+        q=tile(sim.q0) if q0 is None else jnp.asarray(q0, dtype),
+        dq=tile(sim.dq0) if dq0 is None else jnp.asarray(dq0, dtype),
+        mppi=MPPIState(
+            u_prev=jnp.broadcast_to(
+                jnp.asarray(cfg.warm_start, dtype),
+                (b, cfg.horizon, 2)),
+            wp_idx=jnp.zeros((b,), jnp.int32),
+        ),
+        key=keys,
+        done=jnp.zeros((b,), bool),
+    )
+
+
+@partial(jax.jit,
+         static_argnames=("arm", "cfg", "sim", "num_steps", "backend"))
+def simulate_batch(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,
+    states0: SimState,
+    num_steps: int,
+    backend: str = "xla",
+):
+    """B independent closed-loop scenarios on one chip: vmap inside the scan.
+
+    Same semantics as :func:`simulate` per scenario.  For multi-chip, shard
+    the batch with parallel.sharded.make_sharded_sim_step instead.
+    """
+    def body(states, step_i):
+        def one(state):
+            next_state, res = sim_step(arm, cfg, sim, ref_path, state,
+                                       backend=backend)
+            x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
+            ref_row = lax.dynamic_slice_in_dim(
+                ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
+            )[0]
+            rec = SimRecord(
+                q=next_state.q, dq=next_state.dq, u=res.u0,
+                ee=jnp.stack([x2, y2]), elbow=jnp.stack([x1, y1]),
+                ref_xy=ref_row[0:2], wp_idx=next_state.mppi.wp_idx,
+                cost_min=jnp.min(res.costs), cost_mean=jnp.mean(res.costs),
+                done=next_state.done,
+            )
+            return next_state, rec
+
+        return jax.vmap(one)(states)
+
+    return lax.scan(body, states0, jnp.arange(num_steps))
 
 
 def simulate_python(

@@ -1,0 +1,116 @@
+"""Fused Pallas solve kernel vs the XLA path (interpret mode on CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig
+from mppi_robotarm_tpu.ops.noise import sigma_inverse
+from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_core
+from mppi_robotarm_tpu.ops.rollout import rollout_costs
+from mppi_robotarm_tpu.ops.waypoint import slice_window
+from mppi_robotarm_tpu.ops.weights import mppi_weights
+
+ARM = ArmParams()
+X0 = np.array([1.152198236517471885, -1.266101672070702344, 0.0, 0.0],
+              np.float32)
+
+
+def _xla_reference(cfg, ref_path, x0, u, eps, wp_idx=0):
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), wp_idx,
+                                 cfg.search_idx_len)
+    s, _ = rollout_costs(ARM, cfg, jnp.asarray(x0), jnp.asarray(u),
+                         jnp.asarray(eps), window, valid,
+                         jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32))
+    w = mppi_weights(s, cfg.lam)
+    w_eps = jnp.einsum("k,ktu->tu", w, jnp.asarray(eps))
+    return np.asarray(s), np.asarray(w_eps), window, valid
+
+
+@pytest.mark.parametrize("k,t", [(128, 6), (256, 30)])
+def test_injected_eps_matches_xla(ref_path, rng, k, t):
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=k, horizon=t)
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(k, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    s_exp, weps_exp, window, valid = _xla_reference(cfg, ref_path, X0, u, eps)
+    nvalid = jnp.asarray(np.float32(valid.sum()))
+    w_eps, s, eps_used = pallas_solve_core(
+        ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+        eps=jnp.asarray(eps), interpret=True)
+    np.testing.assert_array_equal(np.asarray(eps_used), eps)
+    np.testing.assert_allclose(np.asarray(s), s_exp, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(w_eps), weps_exp, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_multi_tile_online_softmax(ref_path, rng):
+    """K spanning several grid tiles exercises the running-min rescale."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=512, horizon=4)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = rng.normal(size=(cfg.num_samples, t, 2)).astype(np.float32) * 4.0
+    s_exp, weps_exp, window, valid = _xla_reference(cfg, ref_path, X0, u, eps)
+    nvalid = jnp.asarray(np.float32(valid.sum()))
+    w_eps, s, _ = pallas_solve_core(
+        ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+        eps=jnp.asarray(eps), interpret=True, tile=128)
+    np.testing.assert_allclose(np.asarray(s), s_exp, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(w_eps), weps_exp, rtol=1e-3,
+                               atol=1e-4)
+
+
+def test_exploration_split_in_kernel(ref_path, rng):
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=5,
+                              exploration=0.5)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = rng.normal(size=(128, t, 2)).astype(np.float32) * 4.0
+    s_exp, weps_exp, window, valid = _xla_reference(cfg, ref_path, X0, u, eps)
+    nvalid = jnp.asarray(np.float32(valid.sum()))
+    _, s, _ = pallas_solve_core(ARM, cfg, jnp.asarray(X0), jnp.asarray(u),
+                                window, nvalid, eps=jnp.asarray(eps),
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(s), s_exp, rtol=2e-5)
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu",),
+    reason="hardware PRNG: the CPU TPU-interpreter stubs prng_random_bits "
+           "to zeros; validated on-chip by tools/tpu_validate.py",
+)
+def test_prng_mode_statistics_and_determinism(ref_path):
+    """On-chip PRNG: same seed → identical output; noise has ~N(0, Σ) stats."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=1024, horizon=4)
+    t = cfg.horizon
+    u = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (t, 1))
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    w1, s1, e1 = pallas_solve_core(ARM, cfg, jnp.asarray(X0), u, window,
+                                   nvalid, seed=jnp.asarray(7, jnp.int32),
+                                   interpret=False)
+    w2, s2, e2 = pallas_solve_core(ARM, cfg, jnp.asarray(X0), u, window,
+                                   nvalid, seed=jnp.asarray(7, jnp.int32),
+                                   interpret=False)
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    e = np.asarray(e1).reshape(-1, 2)
+    assert abs(e.mean()) < 0.2, e.mean()
+    np.testing.assert_allclose(e.std(axis=0), np.sqrt(20.0), rtol=0.05)
+    # different seed → different noise
+    _, _, e3 = pallas_solve_core(ARM, cfg, jnp.asarray(X0), u, window,
+                                 nvalid, seed=jnp.asarray(8, jnp.int32),
+                                 interpret=False)
+    assert not np.allclose(np.asarray(e3), np.asarray(e1))
+
+
+def test_mode_validation(ref_path):
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=4)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0, 30)
+    with pytest.raises(ValueError, match="exactly one"):
+        pallas_solve_core(ARM, cfg, jnp.asarray(X0),
+                          jnp.zeros((4, 2), jnp.float32), window,
+                          jnp.asarray(30.0), interpret=True)
