@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
 import jax.numpy as jnp
 
 
@@ -39,10 +40,21 @@ def median_filter_reflect(x: jnp.ndarray, size: int) -> jnp.ndarray:
         return x
     t = x.shape[0]
     left = size // 2
-    right = size - left - 1
     rank = size // 2
-    xp = jnp.pad(x, ((left, right), (0, 0)), mode="symmetric")
-    windows = jnp.stack([xp[j : j + t] for j in range(size)], axis=0)  # (size,T,D)
+    # scipy 'reflect' extends by edge-inclusive reflection with period 2t:
+    # ... d c b a | a b c d | d c b a ...  The index map is computed
+    # explicitly (instead of jnp.pad 'symmetric').  Parity domain: size <=
+    # 2t, which covers the reference (size=10, T>=30, control.py:122) with a
+    # wide margin — beyond one full fold scipy's C buffer code injects
+    # cval=0.0 instead of continuing the reflection (observed scipy 1.17
+    # behaviour); we continue the periodic reflection, which is the
+    # mathematically consistent extension.
+    idx = np.arange(-left, t - left + size - 1)
+    period = 2 * t
+    j = np.mod(idx, period)
+    j = np.where(j < t, j, period - 1 - j)
+    xp = x[jnp.asarray(j)]
+    windows = jnp.stack([xp[k : k + t] for k in range(size)], axis=0)
     return jnp.sort(windows, axis=0)[rank]
 
 

@@ -98,7 +98,7 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
 
 
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
-                   cfg: MPPIConfig, window_len: int):
+                   cfg: MPPIConfig, window_len: int, unroll: bool = False):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Rolled argmin over the W=30 window with first-win tie-breaking
@@ -125,7 +125,8 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
 
     _, b0, b1, b2, b3 = jax.lax.fori_loop(
         0, window_len, body, (jnp.full(x.shape, inf, jnp.float32),
-                              zero, zero, zero, zero))
+                              zero, zero, zero, zero),
+        unroll=window_len if unroll else 1)
     return (w0 * (x - b0) ** 2 + w1 * (y - b1) ** 2
             + w2 * (dq1 - b2) ** 2 + w3 * (dq2 - b3) ** 2) * cfg.cost_scale
 
@@ -151,6 +152,9 @@ def _solve_kernel(
     cfg: MPPIConfig,
     tile: int,
     use_prng: bool,
+    emit_eps: bool = True,
+    unroll_t: bool = False,
+    unroll_w: bool = True,
 ):
     T = cfg.horizon
     sub = tile // _LANES
@@ -185,7 +189,8 @@ def _solve_kernel(
         jax.lax.fori_loop(0, T, gen_body, 0)
     else:
         eps_buf[...] = eps_in_ref[...]
-    eps_out_ref[...] = eps_buf[...]
+    if emit_eps:
+        eps_out_ref[...] = eps_buf[...]
 
     # ---- rollout + cost --------------------------------------------------
     shape = (sub, _LANES)
@@ -213,14 +218,16 @@ def _solve_kernel(
         q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, arm)
         s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
                                *stage_w, cfg=cfg,
-                               window_len=cfg.search_idx_len)
+                               window_len=cfg.search_idx_len,
+                               unroll=unroll_w)
         s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
         return q1, q2, dq1, dq2, s
 
     q1, q2, dq1, dq2, s = jax.lax.fori_loop(
-        0, T, roll_body, (q1, q2, dq1, dq2, s))
+        0, T, roll_body, (q1, q2, dq1, dq2, s), unroll=T if unroll_t else 1)
     s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
-                           cfg=cfg, window_len=cfg.search_idx_len)
+                           cfg=cfg, window_len=cfg.search_idx_len,
+                           unroll=unroll_w)
     s_ref[...] = s
 
     # ---- online-softmax cross-tile accumulation --------------------------
@@ -262,7 +269,10 @@ def pallas_solve_core(
     eps: Optional[jnp.ndarray] = None,    # (K, T, 2) — injected mode
     interpret: bool = False,
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    emit_eps: bool = True,                # return the (K,T,2) noise actually used
+    unroll_t: bool = False,               # fully unroll horizon/acc loops
+    unroll_w: bool = True,                # fully unroll the waypoint window loop
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Run the fused kernel.  Returns (w_eps_raw (T,2), S (K,), eps (K,T,2))."""
     if (seed is None) == (eps is None):
         raise ValueError("provide exactly one of seed= or eps=")
@@ -299,7 +309,10 @@ def pallas_solve_core(
             n_tiles, 2 * T, sub, _LANES)
 
     kernel = functools.partial(
-        _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng)
+        _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
+        emit_eps=emit_eps, unroll_t=unroll_t, unroll_w=unroll_w)
+    eps_out_rows = 2 * T if emit_eps else 1
+    eps_out_sub = sub if emit_eps else 1
 
     s_out, weps_out, eps_out = pl.pallas_call(
         kernel,
@@ -319,13 +332,15 @@ def pallas_solve_core(
                          memory_space=pltpu.VMEM),                  # S
             pl.BlockSpec((2 * T, _LANES), lambda p: (0, 0),
                          memory_space=pltpu.VMEM),                  # w_eps rows
-            pl.BlockSpec((None, 2 * T, sub, _LANES), lambda p: (p, 0, 0, 0),
+            pl.BlockSpec((None, eps_out_rows, eps_out_sub, _LANES),
+                         lambda p: (p, 0, 0, 0),
                          memory_space=pltpu.VMEM),                  # eps used
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, sub, _LANES), jnp.float32),
             jax.ShapeDtypeStruct((2 * T, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 2 * T, sub, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, eps_out_rows, eps_out_sub, _LANES),
+                                 jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),          # eps_buf
@@ -337,6 +352,8 @@ def pallas_solve_core(
 
     s_flat = s_out.reshape(K)
     w_eps = weps_out[:, 0].reshape(T, 2)
+    if not emit_eps:
+        return w_eps, s_flat, None
     eps_used = (eps_out.reshape(n_tiles, T, 2, sub, _LANES)
                 .transpose(0, 3, 4, 1, 2).reshape(K, T, 2))
     return w_eps, s_flat, eps_used
