@@ -32,7 +32,11 @@ def main() -> None:
 
     arm, cfg, sim = benchmark_preset()          # K=1024, H=50
     ref_path = jnp.asarray(synth_circle_path(4000))
-    steps = 200
+    # Long on-device chain: the axon-tunnel environment adds ~26 ms of fixed
+    # host/dispatch latency per program invocation (measured,
+    # tools/tpu_overhead.py); 1000 steps amortise it to <3% so the number
+    # reflects steady-state device throughput.
+    steps = 1000
 
     state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
     results = {}

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=None, help="K")
     p.add_argument("--horizon", type=int, default=None, help="T")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
+                   help="rollout backend: portable XLA scan or the fused "
+                        "Pallas TPU kernel")
     p.add_argument("--out-dir", default=None,
                    help="save records (.npz), metrics (.json), figures")
     p.add_argument("--figures", action="store_true",
@@ -46,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace into this dir")
     p.add_argument("--metrics-every", type=int, default=100)
+    p.add_argument("--render-step", type=int, default=None,
+                   help="after the run, render the sampled/optimal "
+                        "trajectories at this recorded step (the reference's "
+                        "run.py:73-118 per-step figure); requires --out-dir")
     return p
 
 
@@ -91,7 +98,8 @@ def main(argv=None) -> int:
             done_steps = 0
             while done_steps < steps:
                 chunk = min(args.checkpoint_every, steps - done_steps)
-                state, rec = simulate(arm, mppi, sim, ref_j, state, chunk)
+                state, rec = simulate(arm, mppi, sim, ref_j, state, chunk,
+                                      backend=args.backend)
                 jax.block_until_ready(rec.q)
                 rec_parts.append(rec)
                 done_steps += chunk
@@ -100,13 +108,15 @@ def main(argv=None) -> int:
             rec = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *rec_parts)
         else:
-            state, rec = simulate(arm, mppi, sim, ref_j, state, steps)
+            state, rec = simulate(arm, mppi, sim, ref_j, state, steps,
+                                  backend=args.backend)
             jax.block_until_ready(rec.q)
     wall = time.perf_counter() - t0
 
     errs = tracking_errors(rec.ee, ref[1:steps + 1, 0:2])
     summary = {
         "steps": steps, "K": mppi.num_samples, "T": mppi.horizon,
+        "backend": args.backend,
         "wall_s": round(wall, 3),
         "solves_per_s": round(steps / wall, 1),
         **{k: round(v, 6) for k, v in errs.items()},
@@ -129,6 +139,24 @@ def main(argv=None) -> int:
                          dpi=150)
             fig2.savefig(os.path.join(args.out_dir, "figure2_controls.png"),
                          dpi=150)
+        if args.render_step is not None:
+            from .mppi.solver import MPPIState, solve, viz_rollouts
+            from .utils.plotting import plot_sampled_trajectories
+            i = min(args.render_step, steps - 1)
+            obs = jnp.concatenate([rec.q[i], rec.dq[i]])
+            st = MPPIState(
+                u_prev=jnp.tile(jnp.asarray(mppi.warm_start, jnp.float32),
+                                (mppi.horizon, 1)),
+                wp_idx=rec.wp_idx[i].astype(jnp.int32))
+            res = solve(arm, mppi, ref_j, obs, st,
+                        key=jax.random.PRNGKey(args.seed + 1))
+            viz = viz_rollouts(arm, mppi, obs, res.u_seq, st.u_prev, res.eps,
+                               res.costs)
+            fig = plot_sampled_trajectories(
+                obs[:2], viz.sampled_trajs, viz.optimal_traj, ref,
+                viz.sorted_idx)
+            fig.savefig(os.path.join(args.out_dir,
+                                     f"sampled_step{i}.png"), dpi=150)
     if args.checkpoint:
         save_checkpoint(args.checkpoint, state)
     return 0

@@ -1,0 +1,31 @@
+"""CLI sample-trajectory renderer (reference C20) + animation smoke test."""
+
+import os
+
+import numpy as np
+
+
+def test_cli_render_step(tmp_path):
+    from mppi_robotarm_tpu.cli import main
+    out = os.path.join(tmp_path, "out")
+    rc = main(["--steps", "5", "--samples", "16", "--horizon", "6",
+               "--out-dir", out, "--render-step", "3"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "sampled_step3.png"))
+
+
+def test_animation_smoke():
+    from mppi_robotarm_tpu.utils.plotting import animate_arm
+    q_seq = np.stack([np.linspace(0, 1, 10), np.linspace(-1, 0, 10)], axis=1)
+    anim = animate_arm(q_seq)
+    # draw the first frame
+    anim._init_draw()
+    anim._draw_frame(0)
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_multihost_init_noop():
+    """initialize_multihost is safely a no-op on a single-process CPU run."""
+    from mppi_robotarm_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost()  # must not raise

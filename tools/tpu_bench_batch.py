@@ -1,0 +1,69 @@
+"""Multi-scenario throughput bench (BASELINE config 4 on one chip).
+
+Runs B parallel tracking scenarios through the batched closed loop and
+reports aggregate solves/s for both backends.
+
+    python tools/tpu_bench_batch.py [B] [K] [T]
+"""
+
+import sys
+import time
+import dataclasses
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    k = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    t = int(sys.argv[3]) if len(sys.argv) > 3 else 30
+    from mppi_robotarm_tpu.config import MPPIConfig, SimConfig, ArmParams
+    from mppi_robotarm_tpu.sim.loop import init_sim_batch, simulate_batch
+    from mppi_robotarm_tpu.sim.paths import synth_circle_path
+
+    print("devices:", jax.devices())
+    arm = ArmParams()
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=k, horizon=t)
+    sim = SimConfig()
+    ref = jnp.asarray(synth_circle_path(2000))
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(b))
+    # spread the initial states slightly across scenarios
+    q0 = (jnp.asarray([[1.1522, -1.2661]], jnp.float32)
+          + 0.01 * jax.random.normal(jax.random.PRNGKey(9), (b, 2)))
+    steps = 20
+
+    for backend in ("xla", "pallas"):
+        try:
+            states0 = init_sim_batch(cfg, sim, keys, q0=q0)
+            out = simulate_batch(arm, cfg, sim, ref, states0, steps,
+                                 backend=backend)
+            jax.block_until_ready(out)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                out = simulate_batch(arm, cfg, sim, ref, states0, steps,
+                                     backend=backend)
+                jax.block_until_ready(out)
+                times.append(time.perf_counter() - t0)
+            best = min(times)
+            total_solves = b * steps
+            rec = out[1]
+            ee = np.asarray(rec.ee[-1])
+            err = np.linalg.norm(
+                ee - np.asarray(ref)[steps, 0:2], axis=-1)
+            print(f"{backend:7}: B={b} K={k} T={t}: "
+                  f"{total_solves/best:12.0f} scenario-solves/s "
+                  f"({best/steps*1e3:.2f} ms/batched-step; "
+                  f"median EE err @step{steps}: {np.median(err)*1e3:.1f} mm)",
+                  flush=True)
+        except Exception as e:
+            print(f"{backend}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
