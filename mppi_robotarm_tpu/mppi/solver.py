@@ -147,6 +147,50 @@ def solve(
 
 
 @partial(jax.jit, static_argnames=("arm", "cfg"))
+def solve_batched_pallas(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    ref_path: jnp.ndarray,       # (N, 4)
+    observed_x: jnp.ndarray,     # (B, 4)
+    state: MPPIState,            # batched: u_prev (B,T,2), wp_idx (B,)
+    seeds: jnp.ndarray,          # (B,) int32 hardware-PRNG seeds
+) -> SolveResult:
+    """B-scenario solve through ONE batched kernel launch (grid B × K-tiles).
+
+    The scenario-independent pieces (waypoint update, median filter,
+    warm-start shift) are vmapped XLA; the K×T sweep is a single
+    ``pallas_solve_batched`` call.  Used by ``simulate_batch(backend=
+    'pallas')`` — ``vmap`` over ``pallas_call`` does not Mosaic-lower.
+    """
+    from ..ops.pallas_rollout import pallas_solve_batched
+
+    cfg.validate()
+    dtype = state.u_prev.dtype
+
+    def _wp(wp_idx, obs):
+        x_obs, y_obs = fk_ee(obs[0], obs[1], cfg.l1, cfg.l2)
+        return update_waypoint_index(ref_path, wp_idx, x_obs, y_obs,
+                                     cfg.search_idx_len, cfg.dist_scale)
+
+    wp_idx, window, valid = jax.vmap(_wp)(state.wp_idx, observed_x)
+    path_end = wp_idx >= ref_path.shape[0] - 1
+    nvalid = jnp.sum(valid.astype(jnp.float32), axis=-1)
+
+    w_eps_raw, s, eps = pallas_solve_batched(
+        arm, cfg, observed_x.astype(jnp.float32),
+        state.u_prev.astype(jnp.float32), window, nvalid, seed=seeds)
+    s = s.astype(dtype)
+    w = jax.vmap(lambda si: mppi_weights(si, cfg.lam))(s)
+    w_eps = jax.vmap(lambda we: median_filter_reflect(we, cfg.filter_window)
+                     )(w_eps_raw.astype(dtype))
+    u_seq = state.u_prev + w_eps
+    next_state = MPPIState(u_prev=jax.vmap(shift_warm_start)(u_seq),
+                           wp_idx=wp_idx)
+    return SolveResult(u0=u_seq[:, 0], u_seq=u_seq, state=next_state,
+                       path_end=path_end, costs=s, weights=w, eps=eps)
+
+
+@partial(jax.jit, static_argnames=("arm", "cfg"))
 def viz_rollouts(
     arm: ArmParams,
     cfg: MPPIConfig,

@@ -158,24 +158,24 @@ def _solve_kernel(
 ):
     T = cfg.horizon
     sub = tile // _LANES
-    p_id = pl.program_id(0)
-    n_p = pl.num_programs(0)
+    p_id = pl.program_id(1)          # K-tile index within the scenario
+    n_p = pl.num_programs(1)
     dt = jnp.float32(cfg.delta_t)
     lam = jnp.float32(cfg.lam)
     gamma = jnp.float32(cfg.gamma)
     stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
     term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
 
-    q1_0 = scalars_ref[0]
-    q2_0 = scalars_ref[1]
-    dq1_0 = scalars_ref[2]
-    dq2_0 = scalars_ref[3]
-    nvalid = scalars_ref[5]
-    k_thresh = scalars_ref[6]
+    q1_0 = scalars_ref[0, 0]
+    q2_0 = scalars_ref[0, 1]
+    dq1_0 = scalars_ref[0, 2]
+    dq2_0 = scalars_ref[0, 3]
+    nvalid = scalars_ref[0, 5]
+    k_thresh = scalars_ref[0, 6]
 
     # ---- noise for this tile --------------------------------------------
     if use_prng:
-        pltpu.prng_seed(scalars_ref[4].astype(jnp.int32), p_id)
+        pltpu.prng_seed(scalars_ref[0, 4].astype(jnp.int32), p_id)
         l11 = chol_ref[0]
         l21 = chol_ref[1]
         l22 = chol_ref[2]
@@ -258,6 +258,125 @@ def _solve_kernel(
         weps_ref[...] = acc_buf[...] / stat_ref[1]
 
 
+def pallas_solve_batched(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    x0: jnp.ndarray,          # (B, 4) f32
+    u: jnp.ndarray,           # (B, T, 2) f32
+    window: jnp.ndarray,      # (B, W, 4) f32 frozen waypoint windows
+    nvalid: jnp.ndarray,      # (B,) valid window rows per scenario
+    seed: Optional[jnp.ndarray] = None,   # (B,) int32 — PRNG mode
+    eps: Optional[jnp.ndarray] = None,    # (B, K, T, 2) — injected mode
+    interpret: bool = False,
+    tile: Optional[int] = None,           # K-tile override (tests/tuning)
+    emit_eps: bool = True,                # return the (B,K,T,2) noise used
+    unroll_t: bool = False,               # fully unroll horizon/acc loops
+    unroll_w: bool = True,                # fully unroll the waypoint window loop
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+    """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
+
+    This is the production path for multi-scenario tracking (BASELINE
+    config 4): ``jax.vmap`` over ``pallas_call`` does not Mosaic-lower (the
+    batch dim breaks the lane/sublane block rule), so the batch is a real
+    grid axis instead — scenario b, tile p run sequentially per core with
+    the per-scenario online-softmax accumulators reset at p == 0.
+
+    Returns (w_eps_raw (B,T,2), S (B,K), eps (B,K,T,2) or None).
+    """
+    if (seed is None) == (eps is None):
+        raise ValueError("provide exactly one of seed= or eps=")
+    K, T = cfg.num_samples, cfg.horizon
+    B = x0.shape[0]
+    tile = tile or _pick_tile(K)
+    if K % tile or tile % _LANES:
+        raise ValueError(f"K={K} must be a multiple of {_LANES}")
+    n_tiles = K // tile
+    sub = tile // _LANES
+    use_prng = eps is None
+
+    x0 = x0.astype(jnp.float32)
+    u = u.astype(jnp.float32)
+    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
+    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
+    su = u @ jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).T  # (B,T,2)
+    k_thresh = jnp.full((B, 1), (1.0 - cfg.exploration) * K, jnp.float32)
+    seed_v = (seed.astype(jnp.float32)[:, None] if seed is not None
+              else jnp.zeros((B, 1), jnp.float32))
+    scalars = jnp.concatenate([
+        x0,
+        seed_v,
+        nvalid.astype(jnp.float32)[:, None],
+        k_thresh,
+        jnp.zeros((B, 1), jnp.float32),
+    ], axis=1)[:, None, :]                           # (B, 1, 8)
+
+    if use_prng:
+        # dummy 1-element noise input (ignored by the kernel)
+        eps_tiled = jnp.zeros((B, n_tiles, 1, 1, _LANES), jnp.float32)
+        eps_in_block = (None, None, 1, 1, _LANES)
+    else:
+        # (B, K, T, 2) -> (B, n_tiles, 2T, sub, 128) matching k_global layout
+        e = eps.astype(jnp.float32).reshape(B, n_tiles, sub, _LANES, T, 2)
+        eps_tiled = e.transpose(0, 1, 4, 5, 2, 3).reshape(
+            B, n_tiles, 2 * T, sub, _LANES)
+        eps_in_block = (None, None, 2 * T, sub, _LANES)
+
+    kernel = functools.partial(
+        _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
+        emit_eps=emit_eps, unroll_t=unroll_t, unroll_w=unroll_w)
+    eps_out_rows = 2 * T if emit_eps else 1
+    eps_out_sub = sub if emit_eps else 1
+
+    s_out, weps_out, eps_out = pl.pallas_call(
+        kernel,
+        grid=(B, n_tiles),
+        in_specs=[
+            pl.BlockSpec((None, 1, 8), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # scalars
+            pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # u
+            pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # su
+            pl.BlockSpec(memory_space=pltpu.SMEM),                  # chol
+            pl.BlockSpec((None, cfg.search_idx_len, 4),
+                         lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # window
+            pl.BlockSpec(eps_in_block, lambda b, p: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                  # eps_in
+        ],
+        out_specs=[
+            pl.BlockSpec((None, None, sub, _LANES),
+                         lambda b, p: (b, p, 0, 0),
+                         memory_space=pltpu.VMEM),                  # S
+            pl.BlockSpec((None, 2 * T, _LANES), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                  # w_eps rows
+            pl.BlockSpec((None, None, eps_out_rows, eps_out_sub, _LANES),
+                         lambda b, p: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),                  # eps used
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_tiles, sub, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (B, n_tiles, eps_out_rows, eps_out_sub, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),          # eps_buf
+            pltpu.VMEM((2 * T, _LANES), jnp.float32),               # acc
+            pltpu.SMEM((2,), jnp.float32),                          # m, eta
+        ],
+        interpret=interpret,
+    )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
+
+    s_flat = s_out.reshape(B, K)
+    w_eps = weps_out[:, :, 0].reshape(B, T, 2)
+    if not emit_eps:
+        return w_eps, s_flat, None
+    eps_used = (eps_out.reshape(B, n_tiles, T, 2, sub, _LANES)
+                .transpose(0, 1, 4, 5, 2, 3).reshape(B, K, T, 2))
+    return w_eps, s_flat, eps_used
+
+
 def pallas_solve_core(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -273,87 +392,16 @@ def pallas_solve_core(
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
-    """Run the fused kernel.  Returns (w_eps_raw (T,2), S (K,), eps (K,T,2))."""
-    if (seed is None) == (eps is None):
-        raise ValueError("provide exactly one of seed= or eps=")
-    K, T = cfg.num_samples, cfg.horizon
-    W = cfg.search_idx_len
-    tile = tile or _pick_tile(K)
-    if K % tile or tile % _LANES:
-        raise ValueError(f"K={K} must be a multiple of {_LANES}")
-    n_tiles = K // tile
-    sub = tile // _LANES
-    use_prng = eps is None
+    """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
-    x0 = x0.astype(jnp.float32)
-    u = u.astype(jnp.float32)
-    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
-    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
-    su = u @ jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).T  # (T,2)
-    k_thresh = jnp.float32((1.0 - cfg.exploration) * K)
-    seed_v = (seed.astype(jnp.float32) if seed is not None
-              else jnp.float32(0.0))
-    scalars = jnp.concatenate([
-        x0,
-        jnp.stack([seed_v, nvalid.astype(jnp.float32), k_thresh,
-                   jnp.float32(0.0)]),
-    ])
-
-    if use_prng:
-        # dummy 1-element noise input (ignored by the kernel)
-        eps_tiled = jnp.zeros((n_tiles, 2 * T, sub, _LANES), jnp.float32)
-    else:
-        # (K, T, 2) -> (n_tiles, 2T, sub, 128) matching k_global layout
-        e = eps.astype(jnp.float32).reshape(n_tiles, sub, _LANES, T, 2)
-        eps_tiled = e.transpose(0, 3, 4, 1, 2).reshape(
-            n_tiles, 2 * T, sub, _LANES)
-
-    kernel = functools.partial(
-        _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
-        emit_eps=emit_eps, unroll_t=unroll_t, unroll_w=unroll_w)
-    eps_out_rows = 2 * T if emit_eps else 1
-    eps_out_sub = sub if emit_eps else 1
-
-    s_out, weps_out, eps_out = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # scalars
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # u
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # su
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # chol
-            pl.BlockSpec(memory_space=pltpu.SMEM),                  # window
-            pl.BlockSpec((None, 2 * T, sub, _LANES),
-                         lambda p: (p, 0, 0, 0),
-                         memory_space=pltpu.VMEM),                  # eps_in
-        ],
-        out_specs=[
-            pl.BlockSpec((None, sub, _LANES), lambda p: (p, 0, 0),
-                         memory_space=pltpu.VMEM),                  # S
-            pl.BlockSpec((2 * T, _LANES), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM),                  # w_eps rows
-            pl.BlockSpec((None, eps_out_rows, eps_out_sub, _LANES),
-                         lambda p: (p, 0, 0, 0),
-                         memory_space=pltpu.VMEM),                  # eps used
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, sub, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((2 * T, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, eps_out_rows, eps_out_sub, _LANES),
-                                 jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),          # eps_buf
-            pltpu.VMEM((2 * T, _LANES), jnp.float32),               # acc
-            pltpu.SMEM((2,), jnp.float32),                          # m, eta
-        ],
-        interpret=interpret,
-    )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
-
-    s_flat = s_out.reshape(K)
-    w_eps = weps_out[:, 0].reshape(T, 2)
-    if not emit_eps:
-        return w_eps, s_flat, None
-    eps_used = (eps_out.reshape(n_tiles, T, 2, sub, _LANES)
-                .transpose(0, 3, 4, 1, 2).reshape(K, T, 2))
-    return w_eps, s_flat, eps_used
+    Returns (w_eps_raw (T,2), S (K,), eps (K,T,2) or None).
+    """
+    w_eps, s, eps_used = pallas_solve_batched(
+        arm, cfg, x0[None], u[None], window[None],
+        jnp.asarray(nvalid)[None],
+        seed=None if seed is None else jnp.asarray(seed)[None],
+        eps=None if eps is None else eps[None],
+        interpret=interpret, tile=tile, emit_eps=emit_eps,
+        unroll_t=unroll_t, unroll_w=unroll_w,
+    )
+    return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

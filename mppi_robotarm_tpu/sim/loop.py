@@ -183,27 +183,85 @@ def simulate_batch(
     num_steps: int,
     backend: str = "xla",
 ):
-    """B independent closed-loop scenarios on one chip: vmap inside the scan.
+    """B independent closed-loop scenarios on one chip.
 
-    Same semantics as :func:`simulate` per scenario.  For multi-chip, shard
-    the batch with parallel.sharded.make_sharded_sim_step instead.
+    Same semantics as :func:`simulate` per scenario.  backend='xla' vmaps the
+    whole step; backend='pallas' routes the K×T sweep through ONE batched
+    kernel launch per step (grid B × K-tiles) — ``vmap`` over ``pallas_call``
+    does not Mosaic-lower.  For multi-chip, shard the batch with
+    parallel.sharded.make_sharded_sim_step instead.
     """
+    def _record(next_state, res, step_i):
+        x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
+        ref_row = lax.dynamic_slice_in_dim(
+            ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
+        )[0]
+        return SimRecord(
+            q=next_state.q, dq=next_state.dq, u=res.u0,
+            ee=jnp.stack([x2, y2]), elbow=jnp.stack([x1, y1]),
+            ref_xy=ref_row[0:2], wp_idx=next_state.mppi.wp_idx,
+            cost_min=jnp.min(res.costs), cost_mean=jnp.mean(res.costs),
+            done=next_state.done,
+        )
+
+    if backend == "pallas":
+        from ..mppi.solver import solve_batched_pallas
+
+        def body(states, step_i):
+            observed = jnp.concatenate([states.q, states.dq], axis=-1)
+            keys = jax.vmap(jax.random.split, in_axes=0)(states.key)
+            key_next, sub = keys[:, 0], keys[:, 1]
+            seeds = jax.vmap(
+                lambda k: jax.random.randint(k, (), 0,
+                                             jnp.iinfo(jnp.int32).max,
+                                             dtype=jnp.int32))(sub)
+            res = solve_batched_pallas(arm, cfg, ref_path, observed,
+                                       states.mppi, seeds)
+            done = jnp.logical_or(states.done, res.path_end)
+
+            def plant(q, dq, u0):
+                return plant_step(arm, sim, q, dq, u0)
+
+            q_new, dq_new = jax.vmap(plant)(states.q, states.dq, res.u0)
+            keep = lambda new, old: jnp.where(done[..., None], old, new)
+            next_states = SimState(
+                step=states.step + jnp.where(done, 0, 1),
+                q=keep(q_new, states.q),
+                dq=keep(dq_new, states.dq),
+                mppi=MPPIState(
+                    u_prev=jnp.where(done[:, None, None],
+                                     states.mppi.u_prev, res.state.u_prev),
+                    wp_idx=jnp.where(done, states.mppi.wp_idx,
+                                     res.state.wp_idx),
+                ),
+                key=key_next,
+                done=done,
+            )
+            x1, y1, x2, y2 = jax.vmap(
+                lambda q: fk_full(q[0], q[1], arm))(next_states.q)
+            ref_row = lax.dynamic_slice_in_dim(
+                ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1),
+                1, 0)[0]
+            b = next_states.q.shape[0]
+            recs = SimRecord(
+                q=next_states.q, dq=next_states.dq, u=res.u0,
+                ee=jnp.stack([x2, y2], axis=-1),
+                elbow=jnp.stack([x1, y1], axis=-1),
+                ref_xy=jnp.broadcast_to(ref_row[0:2], (b, 2)),
+                wp_idx=next_states.mppi.wp_idx,
+                cost_min=jnp.min(res.costs, axis=-1),
+                cost_mean=jnp.mean(res.costs, axis=-1),
+                done=next_states.done,
+            )
+            return next_states, recs
+
+        return lax.scan(body, states0, jnp.arange(num_steps))
+
     def body(states, step_i):
         def one(state):
             next_state, res = sim_step(arm, cfg, sim, ref_path, state,
                                        backend=backend)
-            x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
-            ref_row = lax.dynamic_slice_in_dim(
-                ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
-            )[0]
-            rec = SimRecord(
-                q=next_state.q, dq=next_state.dq, u=res.u0,
-                ee=jnp.stack([x2, y2]), elbow=jnp.stack([x1, y1]),
-                ref_xy=ref_row[0:2], wp_idx=next_state.mppi.wp_idx,
-                cost_min=jnp.min(res.costs), cost_mean=jnp.mean(res.costs),
-                done=next_state.done,
-            )
-            return next_state, rec
+            return next_state, _record(next_state, res, step_i)
 
         return jax.vmap(one)(states)
 

@@ -114,3 +114,63 @@ def test_mode_validation(ref_path):
         pallas_solve_core(ARM, cfg, jnp.asarray(X0),
                           jnp.zeros((4, 2), jnp.float32), window,
                           jnp.asarray(30.0), interpret=True)
+
+
+def test_batched_kernel_matches_per_scenario(ref_path, rng):
+    """pallas_solve_batched (grid B × tiles) == per-scenario single calls."""
+    from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=5)
+    b = 3
+    x0s = np.tile(X0, (b, 1)) + rng.normal(scale=0.01, size=(b, 4)).astype(
+        np.float32)
+    us = np.tile(np.asarray(cfg.warm_start, np.float32), (b, cfg.horizon, 1))
+    eps = rng.normal(size=(b, 256, cfg.horizon, 2)).astype(np.float32) * 4.0
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    windows = jnp.tile(window[None], (b, 1, 1))
+    nvalid = jnp.full((b,), np.float32(np.asarray(valid).sum()))
+
+    w_b, s_b, e_b = pallas_solve_batched(
+        ARM, cfg, jnp.asarray(x0s, jnp.float32), jnp.asarray(us),
+        windows, nvalid, eps=jnp.asarray(eps), interpret=True, tile=128)
+    for i in range(b):
+        w_i, s_i, e_i = pallas_solve_core(
+            ARM, cfg, jnp.asarray(x0s[i], jnp.float32), jnp.asarray(us[i]),
+            window, nvalid[i], eps=jnp.asarray(eps[i]), interpret=True,
+            tile=128)
+        np.testing.assert_array_equal(np.asarray(s_b[i]), np.asarray(s_i))
+        np.testing.assert_array_equal(np.asarray(w_b[i]), np.asarray(w_i))
+        np.testing.assert_array_equal(np.asarray(e_b[i]), np.asarray(e_i))
+
+
+def test_mosaic_lowering_aot(ref_path):
+    """AOT cross-lowering for platform 'tpu' runs the full Mosaic pipeline on
+    CPU — catches tiling/lowering violations without a chip.  (x64 disabled:
+    jax.export recurses on weak int64 scalars under jax_enable_x64.)"""
+    import mppi_robotarm_tpu as m
+    from mppi_robotarm_tpu.config import SimConfig
+    from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched
+    jax.config.update("jax_enable_x64", False)
+    try:
+        _mosaic_lowering_body(m, SimConfig, pallas_solve_batched, ref_path)
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
+def _mosaic_lowering_body(m, SimConfig, pallas_solve_batched, ref_path):
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    sim = SimConfig()
+    ref = jnp.asarray(ref_path[:300], jnp.float32)
+    window, _ = slice_window(ref, 0, cfg.search_idx_len)
+    b = 2
+    f = lambda x0, u, w, nv, s: pallas_solve_batched(
+        ARM, cfg, x0, u, w, nv, seed=s)
+    args = (jnp.zeros((b, 4)), jnp.zeros((b, 6, 2)),
+            jnp.tile(window[None], (b, 1, 1)), jnp.full((b,), 30.0),
+            jnp.zeros((b,), jnp.int32))
+    jax.export.export(jax.jit(f), platforms=["tpu"])(*args)
+
+    s1 = m.init_sim(cfg, sim, jax.random.PRNGKey(0))
+    h = lambda s: m.simulate(ARM, cfg, sim, ref, s, 2, backend="pallas")
+    jax.export.export(jax.jit(h), platforms=["tpu"])(s1)
