@@ -113,7 +113,8 @@ def main(argv=None) -> int:
             jax.block_until_ready(rec.q)
     wall = time.perf_counter() - t0
 
-    errs = tracking_errors(rec.ee, ref[1:steps + 1, 0:2])
+    errs = tracking_errors(rec.ee, ref[1:steps + 1, 0:2],
+                           full_path=ref)
     summary = {
         "steps": steps, "K": mppi.num_samples, "T": mppi.horizon,
         "backend": args.backend,

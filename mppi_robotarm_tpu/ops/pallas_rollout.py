@@ -172,6 +172,7 @@ def _solve_kernel(
     dq2_0 = scalars_ref[0, 3]
     nvalid = scalars_ref[0, 5]
     k_thresh = scalars_ref[0, 6]
+    k_actual = scalars_ref[0, 7]     # real K (< padded K when K % 128 != 0)
 
     # ---- noise for this tile --------------------------------------------
     if use_prng:
@@ -228,6 +229,9 @@ def _solve_kernel(
     s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
                            cfg=cfg, window_len=cfg.search_idx_len,
                            unroll=unroll_w)
+    # Padding samples (k >= k_actual) must not influence the softmax: their
+    # cost is +inf so exp(-(S-m)/lam) underflows to exactly 0.
+    s = jnp.where(k_global < k_actual, s, jnp.float32(np.inf))
     s_ref[...] = s
 
     # ---- online-softmax cross-tile accumulation --------------------------
@@ -287,10 +291,13 @@ def pallas_solve_batched(
         raise ValueError("provide exactly one of seed= or eps=")
     K, T = cfg.num_samples, cfg.horizon
     B = x0.shape[0]
-    tile = tile or _pick_tile(K)
-    if K % tile or tile % _LANES:
-        raise ValueError(f"K={K} must be a multiple of {_LANES}")
-    n_tiles = K // tile
+    # Pad K up to a lane multiple; padded samples carry +inf cost in-kernel
+    # so they are exact no-ops in the softmax and Σwε.
+    Kpad = -(-K // _LANES) * _LANES
+    tile = tile or _pick_tile(Kpad)
+    if Kpad % tile or tile % _LANES:
+        raise ValueError(f"padded K={Kpad} must be a multiple of {_LANES}")
+    n_tiles = Kpad // tile
     sub = tile // _LANES
     use_prng = eps is None
 
@@ -300,6 +307,7 @@ def pallas_solve_batched(
     chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
     su = u @ jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).T  # (B,T,2)
     k_thresh = jnp.full((B, 1), (1.0 - cfg.exploration) * K, jnp.float32)
+    k_actual = jnp.full((B, 1), float(K), jnp.float32)
     seed_v = (seed.astype(jnp.float32)[:, None] if seed is not None
               else jnp.zeros((B, 1), jnp.float32))
     scalars = jnp.concatenate([
@@ -307,7 +315,7 @@ def pallas_solve_batched(
         seed_v,
         nvalid.astype(jnp.float32)[:, None],
         k_thresh,
-        jnp.zeros((B, 1), jnp.float32),
+        k_actual,
     ], axis=1)[:, None, :]                           # (B, 1, 8)
 
     if use_prng:
@@ -316,7 +324,11 @@ def pallas_solve_batched(
         eps_in_block = (None, None, 1, 1, _LANES)
     else:
         # (B, K, T, 2) -> (B, n_tiles, 2T, sub, 128) matching k_global layout
-        e = eps.astype(jnp.float32).reshape(B, n_tiles, sub, _LANES, T, 2)
+        e = eps.astype(jnp.float32)
+        if Kpad != K:
+            e = jnp.concatenate(
+                [e, jnp.zeros((B, Kpad - K, T, 2), jnp.float32)], axis=1)
+        e = e.reshape(B, n_tiles, sub, _LANES, T, 2)
         eps_tiled = e.transpose(0, 1, 4, 5, 2, 3).reshape(
             B, n_tiles, 2 * T, sub, _LANES)
         eps_in_block = (None, None, 2 * T, sub, _LANES)
@@ -368,12 +380,12 @@ def pallas_solve_batched(
         interpret=interpret,
     )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
 
-    s_flat = s_out.reshape(B, K)
+    s_flat = s_out.reshape(B, Kpad)[:, :K]
     w_eps = weps_out[:, :, 0].reshape(B, T, 2)
     if not emit_eps:
         return w_eps, s_flat, None
     eps_used = (eps_out.reshape(B, n_tiles, T, 2, sub, _LANES)
-                .transpose(0, 1, 4, 5, 2, 3).reshape(B, K, T, 2))
+                .transpose(0, 1, 4, 5, 2, 3).reshape(B, Kpad, T, 2)[:, :K])
     return w_eps, s_flat, eps_used
 
 

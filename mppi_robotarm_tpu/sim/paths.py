@@ -43,6 +43,24 @@ def load_joint_log(path: str, dtype=np.float32) -> np.ndarray:
     return np.ascontiguousarray(raw, dtype=dtype)
 
 
+def ref_path_from_joint_log(log: np.ndarray, dt: float = 0.003,
+                            dtype=np.float32) -> np.ndarray:
+    """Convert a [q1, q2, x, y] joint log (trajectory.txt format, C26) into
+    the controller's (N, 4) [x, y, dq1, dq2] reference-path format.
+
+    Joint velocities come from central differences of the logged joint
+    angles at the plant timestep — the same relationship the xydq files'
+    velocity columns bear to their paths (BASELINE config 1: "single MPPI
+    solve tracking trajectory.txt").
+    """
+    log = np.asarray(log, dtype=np.float64)
+    if log.ndim != 2 or log.shape[1] != 4:
+        raise ValueError(f"expected a (N,4) [q1,q2,x,y] log, got {log.shape}")
+    dq = np.gradient(log[:, 0:2], axis=0) / dt
+    out = np.concatenate([log[:, 2:4], dq], axis=1)
+    return np.ascontiguousarray(out, dtype=dtype)
+
+
 def synth_circle_path(
     num_waypoints: int = 2000,
     revolutions: float = 1.0,

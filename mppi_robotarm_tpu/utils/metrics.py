@@ -29,22 +29,30 @@ def solve_metrics(costs: jnp.ndarray, weights: jnp.ndarray) -> dict:
     }
 
 
-def tracking_errors(ee: np.ndarray, ref_xy: np.ndarray) -> dict:
+def tracking_errors(ee: np.ndarray, ref_xy: np.ndarray,
+                    full_path: Optional[np.ndarray] = None) -> dict:
     """Closed-loop end-effector tracking error stats.
 
-    ``ee``/``ref_xy``: (steps, 2).  Includes both the reference's step-
-    aligned metric (vs ref_path[k], run.py:65-68) and the lag-free distance
-    to the nearest path point.
+    ``ee``/``ref_xy``: (steps, 2).  The primary metrics are the reference's
+    step-aligned error (vs ref_path[k], run.py:65-68) — which penalises lag
+    along the path.  When ``full_path`` (N, >=2) is given, the lag-free
+    distance to the nearest path point is reported too ("on-path" error).
     """
     ee = np.asarray(ee)
     ref_xy = np.asarray(ref_xy)
     err = np.linalg.norm(ee - ref_xy, axis=1)
-    return {
+    out = {
         "ee_rms_m": float(np.sqrt(np.mean(err ** 2))),
         "ee_mean_m": float(err.mean()),
         "ee_max_m": float(err.max()),
         "ee_final_m": float(err[-1]),
     }
+    if full_path is not None:
+        p = np.asarray(full_path)[:, 0:2]
+        d = np.linalg.norm(ee[:, None, :] - p[None], axis=2).min(axis=1)
+        out["onpath_mean_m"] = float(d.mean())
+        out["onpath_max_m"] = float(d.max())
+    return out
 
 
 def nan_guard(*arrays) -> bool:

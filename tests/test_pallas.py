@@ -174,3 +174,20 @@ def _mosaic_lowering_body(m, SimConfig, pallas_solve_batched, ref_path):
     s1 = m.init_sim(cfg, sim, jax.random.PRNGKey(0))
     h = lambda s: m.simulate(ARM, cfg, sim, ref, s, 2, backend="pallas")
     jax.export.export(jax.jit(h), platforms=["tpu"])(s1)
+
+
+def test_non_lane_multiple_k_padding(ref_path, rng):
+    """K=100 (the reference config) pads to 128 with exact-no-op samples."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=100, horizon=6)
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (6, 1))
+    eps = rng.normal(size=(100, 6, 2)).astype(np.float32) * 4.0
+    s_exp, weps_exp, window, valid = _xla_reference(cfg, ref_path, X0, u, eps)
+    nvalid = jnp.asarray(np.float32(valid.sum()))
+    w_eps, s, eps_used = pallas_solve_core(
+        ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+        eps=jnp.asarray(eps), interpret=True)
+    assert s.shape == (100,) and eps_used.shape == (100, 6, 2)
+    np.testing.assert_array_equal(np.asarray(eps_used), eps)
+    np.testing.assert_allclose(np.asarray(s), s_exp, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(w_eps), weps_exp, rtol=1e-3,
+                               atol=1e-4)

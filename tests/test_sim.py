@@ -87,3 +87,33 @@ def test_disturbance_injection(ref_path):
     s0b = init_sim(CFG, sim_d, jax.random.PRNGKey(2), dtype=jnp.float64)
     _, rec_b = simulate(ARM, CFG, sim_d, jnp.asarray(ref_path), s0b, 5)
     assert not np.allclose(np.asarray(rec_a.q), np.asarray(rec_b.q))
+
+
+def test_ref_path_from_joint_log():
+    """trajectory.txt (C26) converts to a usable [x,y,dq1,dq2] path and a
+    single solve can track it (BASELINE config 1)."""
+    import os
+    import dataclasses
+    from mppi_robotarm_tpu.sim.paths import (load_joint_log,
+                                             ref_path_from_joint_log)
+    src = "/root/reference/trajectory.txt"
+    if os.path.exists(src):
+        log = load_joint_log(src, dtype=np.float64)
+    else:
+        t = np.linspace(0, 1, 500)
+        q1, q2 = 1.15 + 0.1 * t, -1.27 + 0.1 * t
+        log = np.stack([q1, q2, np.cos(q1) + np.cos(q1 + q2),
+                        np.sin(q1) + np.sin(q1 + q2)], axis=1)
+    ref = ref_path_from_joint_log(log, dtype=np.float64)
+    assert ref.shape == (log.shape[0], 4)
+    np.testing.assert_allclose(ref[:, 0], log[:, 2], rtol=1e-12)
+
+    from mppi_robotarm_tpu.mppi.solver import init_state, solve
+    cfg = dataclasses.replace(CFG, num_samples=256, horizon=30)
+    x0 = jnp.asarray([log[0, 0], log[0, 1], 0.0, 0.0])
+    eps = np.random.default_rng(5).normal(
+        size=(256, 30, 2)) * np.sqrt(20.0)
+    res = solve(ARM, cfg, jnp.asarray(ref), x0,
+                init_state(cfg, dtype=jnp.float64), eps=jnp.asarray(eps))
+    assert np.all(np.isfinite(np.asarray(res.u0)))
+    assert not bool(res.path_end)
