@@ -26,6 +26,9 @@ REFERENCE_SOLVES_PER_S = 1.0 / 6.96  # extrapolated reference @ K=1024, H=50
 def main() -> None:
     import jax
     import jax.numpy as jnp
+    from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from mppi_robotarm_tpu import (
         benchmark_preset, init_sim, simulate, synth_circle_path,
     )
@@ -39,8 +42,11 @@ def main() -> None:
     steps = 1000
 
     state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
+    # The fused Pallas kernel is the production path; the portable XLA scan
+    # is the fallback (e.g. CPU-only environments).  Only one backend is
+    # compiled to keep the bench's wall time bounded.
     results = {}
-    for backend in ("xla", "pallas"):
+    for backend in ("pallas", "xla"):
         try:
             out = simulate(arm, cfg, sim, ref_path, state0, steps,
                            backend=backend)
@@ -53,14 +59,14 @@ def main() -> None:
                 jax.block_until_ready(out)
                 times.append(time.perf_counter() - t0)
             results[backend] = (steps / min(times), out)
+            break
         except Exception as e:  # fall back to the portable path
             print(f"backend {backend} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     assert results, "no backend produced a result"
     best_backend = max(results, key=lambda b: results[b][0])
     solves_per_s, out = results[best_backend]
-    for b, (v, _) in results.items():
-        print(f"# {b}: {v:.1f} solves/s", file=sys.stderr)
+    print(f"# backend: {best_backend}", file=sys.stderr)
 
     # Sanity: the run must actually track (guards against a degenerate bench).
     rec = out[1]

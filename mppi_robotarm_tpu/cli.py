@@ -61,6 +61,8 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
+    from .utils.cache import enable_persistent_cache
+    enable_persistent_cache()
     from . import config as cfg_mod
     from .sim.loop import init_sim, simulate
     from .sim.paths import load_ref_path, synth_circle_path

@@ -15,6 +15,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def time_chain(fn, init_carry, n=100, reps=3):
     @jax.jit

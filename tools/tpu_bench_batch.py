@@ -16,6 +16,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 4096

@@ -9,6 +9,10 @@ sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp
+
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 

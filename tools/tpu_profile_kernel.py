@@ -13,6 +13,10 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main():
     from mppi_robotarm_tpu.config import ArmParams, MPPIConfig

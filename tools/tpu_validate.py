@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def timed_solve_chain(arm, cfg, ref_path, backend, n_iters=50):
     """Wall time of n_iters chained solves (warm-started, scan on device)."""
