@@ -176,7 +176,7 @@ def solve_batched_pallas(
     path_end = wp_idx >= ref_path.shape[0] - 1
     nvalid = jnp.sum(valid.astype(jnp.float32), axis=-1)
 
-    w_eps_raw, s, eps = pallas_solve_batched(
+    w_eps_raw, s, eps, _ = pallas_solve_batched(
         arm, cfg, observed_x.astype(jnp.float32),
         state.u_prev.astype(jnp.float32), window, nvalid, seed=seeds)
     s = s.astype(dtype)

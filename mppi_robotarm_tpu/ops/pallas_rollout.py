@@ -133,7 +133,8 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
 
 def _solve_kernel(
     # scalar-prefetch / SMEM inputs
-    scalars_ref,     # SMEM (8,): [q1,q2,dq1,dq2, seed, nvalid, k_threshold, pad]
+    scalars_ref,     # SMEM (1,12): [q1,q2,dq1,dq2, seed, nvalid, k_thresh,
+                     #               k_local_real, k_offset, pad, pad, pad]
     u_ref,           # SMEM (T, 2) nominal controls
     su_ref,          # SMEM (T, 2) Σ⁻¹·u[t]
     chol_ref,        # SMEM (3,)  [L11, L21, L22]
@@ -153,6 +154,7 @@ def _solve_kernel(
     tile: int,
     use_prng: bool,
     emit_eps: bool = True,
+    normalize: bool = True,
     unroll_t: bool = False,
     unroll_w: bool = True,
 ):
@@ -171,8 +173,9 @@ def _solve_kernel(
     dq1_0 = scalars_ref[0, 2]
     dq2_0 = scalars_ref[0, 3]
     nvalid = scalars_ref[0, 5]
-    k_thresh = scalars_ref[0, 6]
-    k_actual = scalars_ref[0, 7]     # real K (< padded K when K % 128 != 0)
+    k_thresh = scalars_ref[0, 6]     # global exploitation cutoff (Q9)
+    k_actual = scalars_ref[0, 7]     # real local K (< padded K if K%128 != 0)
+    k_offset = scalars_ref[0, 8]     # global index of this shard's sample 0
 
     # ---- noise for this tile --------------------------------------------
     if use_prng:
@@ -200,12 +203,12 @@ def _solve_kernel(
     dq1 = jnp.full(shape, dq1_0, jnp.float32)
     dq2 = jnp.full(shape, dq2_0, jnp.float32)
     s = jnp.zeros(shape, jnp.float32)
-    # global sample index for the exploration split (Q9)
-    k_global = (p_id * tile
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _LANES
-                + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(
-                    jnp.float32)
-    exploit = k_global < k_thresh
+    # local index (padding mask) and global index (exploration split, Q9)
+    k_local_idx = (p_id * tile
+                   + jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _LANES
+                   + jax.lax.broadcasted_iota(jnp.int32, shape, 1)).astype(
+                       jnp.float32)
+    exploit = (k_offset + k_local_idx) < k_thresh
 
     def roll_body(t, carry):
         q1, q2, dq1, dq2, s = carry
@@ -229,9 +232,9 @@ def _solve_kernel(
     s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
                            cfg=cfg, window_len=cfg.search_idx_len,
                            unroll=unroll_w)
-    # Padding samples (k >= k_actual) must not influence the softmax: their
-    # cost is +inf so exp(-(S-m)/lam) underflows to exactly 0.
-    s = jnp.where(k_global < k_actual, s, jnp.float32(np.inf))
+    # Padding samples (local k >= k_actual) must not influence the softmax:
+    # their cost is +inf so exp(-(S-m)/lam) underflows to exactly 0.
+    s = jnp.where(k_local_idx < k_actual, s, jnp.float32(np.inf))
     s_ref[...] = s
 
     # ---- online-softmax cross-tile accumulation --------------------------
@@ -259,7 +262,14 @@ def _solve_kernel(
 
     @pl.when(p_id == n_p - 1)
     def _finalize():
-        weps_ref[...] = acc_buf[...] / stat_ref[1]
+        # rows 0..2T-1: Σ e·ε (normalized by local η unless a cross-shard
+        # combine follows); row 2T: running min m; row 2T+1: local η.
+        if normalize:
+            weps_ref[0:2 * T] = acc_buf[...] / stat_ref[1]
+        else:
+            weps_ref[0:2 * T] = acc_buf[...]
+        weps_ref[pl.ds(2 * T, 1)] = jnp.full((1, _LANES), stat_ref[0])
+        weps_ref[pl.ds(2 * T + 1, 1)] = jnp.full((1, _LANES), stat_ref[1])
 
 
 def pallas_solve_batched(
@@ -274,9 +284,12 @@ def pallas_solve_batched(
     interpret: bool = False,
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
     emit_eps: bool = True,                # return the (B,K,T,2) noise used
+    normalize: bool = True,               # divide Σe·ε by η in-kernel
+    k_local: Optional[int] = None,        # shard-local K (defaults to cfg K)
+    k_offset: Optional[jnp.ndarray] = None,  # (B,) global idx of sample 0
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
-) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
     This is the production path for multi-scenario tracking (BASELINE
@@ -285,11 +298,20 @@ def pallas_solve_batched(
     grid axis instead — scenario b, tile p run sequentially per core with
     the per-scenario online-softmax accumulators reset at p == 0.
 
-    Returns (w_eps_raw (B,T,2), S (B,K), eps (B,K,T,2) or None).
+    For sample-sharded use (mesh 'samples' axis), pass the shard-local
+    ``k_local``/``eps`` plus ``k_offset`` (= axis_index · k_local) and
+    ``normalize=False``; the returned stats (m, η) feed the cross-shard
+    two-level online-softmax combine (parallel/sharded.py).
+
+    Returns (w_eps (B,T,2) — Σe·ε/η, or unnormalized Σe·ε wrt the local m
+    when normalize=False; S (B,K); eps (B,K,T,2) or None; stats (m, η) each
+    (B,)).
     """
     if (seed is None) == (eps is None):
         raise ValueError("provide exactly one of seed= or eps=")
-    K, T = cfg.num_samples, cfg.horizon
+    K = k_local if k_local is not None else (
+        eps.shape[1] if eps is not None else cfg.num_samples)
+    T = cfg.horizon
     B = x0.shape[0]
     # Pad K up to a lane multiple; padded samples carry +inf cost in-kernel
     # so they are exact no-ops in the softmax and Σwε.
@@ -306,8 +328,12 @@ def pallas_solve_batched(
     chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
     chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
     su = u @ jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).T  # (B,T,2)
-    k_thresh = jnp.full((B, 1), (1.0 - cfg.exploration) * K, jnp.float32)
+    # exploitation cutoff is over the GLOBAL sample count (Q9)
+    k_thresh = jnp.full((B, 1), (1.0 - cfg.exploration) * cfg.num_samples,
+                        jnp.float32)
     k_actual = jnp.full((B, 1), float(K), jnp.float32)
+    k_off = (jnp.zeros((B, 1), jnp.float32) if k_offset is None
+             else k_offset.astype(jnp.float32).reshape(B, 1))
     seed_v = (seed.astype(jnp.float32)[:, None] if seed is not None
               else jnp.zeros((B, 1), jnp.float32))
     scalars = jnp.concatenate([
@@ -316,7 +342,9 @@ def pallas_solve_batched(
         nvalid.astype(jnp.float32)[:, None],
         k_thresh,
         k_actual,
-    ], axis=1)[:, None, :]                           # (B, 1, 8)
+        k_off,
+        jnp.zeros((B, 3), jnp.float32),
+    ], axis=1)[:, None, :]                           # (B, 1, 12)
 
     if use_prng:
         # dummy 1-element noise input (ignored by the kernel)
@@ -335,7 +363,8 @@ def pallas_solve_batched(
 
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
-        emit_eps=emit_eps, unroll_t=unroll_t, unroll_w=unroll_w)
+        emit_eps=emit_eps, normalize=normalize, unroll_t=unroll_t,
+        unroll_w=unroll_w)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -343,7 +372,7 @@ def pallas_solve_batched(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 1, 8), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((None, 1, 12), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # scalars
             pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # u
@@ -360,15 +389,15 @@ def pallas_solve_batched(
             pl.BlockSpec((None, None, sub, _LANES),
                          lambda b, p: (b, p, 0, 0),
                          memory_space=pltpu.VMEM),                  # S
-            pl.BlockSpec((None, 2 * T, _LANES), lambda b, p: (b, 0, 0),
-                         memory_space=pltpu.VMEM),                  # w_eps rows
+            pl.BlockSpec((None, 2 * T + 2, _LANES), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.VMEM),                  # w_eps+stats
             pl.BlockSpec((None, None, eps_out_rows, eps_out_sub, _LANES),
                          lambda b, p: (b, p, 0, 0, 0),
                          memory_space=pltpu.VMEM),                  # eps used
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_tiles, sub, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2 * T + 2, _LANES), jnp.float32),
             jax.ShapeDtypeStruct(
                 (B, n_tiles, eps_out_rows, eps_out_sub, _LANES), jnp.float32),
         ],
@@ -381,12 +410,13 @@ def pallas_solve_batched(
     )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
 
     s_flat = s_out.reshape(B, Kpad)[:, :K]
-    w_eps = weps_out[:, :, 0].reshape(B, T, 2)
+    w_eps = weps_out[:, :2 * T, 0].reshape(B, T, 2)
+    stats = (weps_out[:, 2 * T, 0], weps_out[:, 2 * T + 1, 0])   # (m, η)
     if not emit_eps:
-        return w_eps, s_flat, None
+        return w_eps, s_flat, None, stats
     eps_used = (eps_out.reshape(B, n_tiles, T, 2, sub, _LANES)
                 .transpose(0, 1, 4, 5, 2, 3).reshape(B, Kpad, T, 2)[:, :K])
-    return w_eps, s_flat, eps_used
+    return w_eps, s_flat, eps_used, stats
 
 
 def pallas_solve_core(
@@ -408,7 +438,7 @@ def pallas_solve_core(
 
     Returns (w_eps_raw (T,2), S (K,), eps (K,T,2) or None).
     """
-    w_eps, s, eps_used = pallas_solve_batched(
+    w_eps, s, eps_used, _ = pallas_solve_batched(
         arm, cfg, x0[None], u[None], window[None],
         jnp.asarray(nvalid)[None],
         seed=None if seed is None else jnp.asarray(seed)[None],

@@ -70,7 +70,59 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
     return u_seq[0], u_seq, shift_warm_start(u_seq), wp_new, path_end, s_local, w_local
 
 
-def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh):
+def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
+                        u_prev, wp_idx, eps_local, interpret=False):
+    """Per-device scenario-batch solve through the fused kernel.
+
+    ``eps_local``: (B_local, K_local, T, 2).  The kernel returns the
+    shard-local Σe·ε wrt the local running min plus (m, η) stats; the
+    cross-shard combine is the two-level online softmax:
+
+        m  = pmin(m_s)                       over 'samples'
+        η  = psum(η_s · exp((m − m_s)/λ))
+        A  = psum(A_s · exp((m − m_s)/λ));   Σwε = A/η
+    """
+    from ..models.arm import fk_ee as _fk
+    from ..mppi.solver import shift_warm_start as _shift
+    from ..ops.pallas_rollout import pallas_solve_batched
+
+    b_loc, k_loc = eps_local.shape[0], eps_local.shape[1]
+    dtype = u_prev.dtype
+
+    def _wp(wi, obs):
+        x_obs, y_obs = _fk(obs[0], obs[1], cfg.l1, cfg.l2)
+        return update_waypoint_index(ref_path, wi, x_obs, y_obs,
+                                     cfg.search_idx_len, cfg.dist_scale)
+
+    wp_new, window, valid = jax.vmap(_wp)(wp_idx, observed)
+    path_end = wp_new >= ref_path.shape[0] - 1
+    nvalid = jnp.sum(valid.astype(jnp.float32), axis=-1)
+    k_offset = jnp.full((b_loc,), lax.axis_index(SAMPLES_AXIS) * k_loc,
+                        jnp.float32)
+
+    a_local, s_local, _, (m_loc, eta_loc) = pallas_solve_batched(
+        arm, cfg, observed.astype(jnp.float32), u_prev.astype(jnp.float32),
+        window, nvalid, eps=eps_local, normalize=False, k_offset=k_offset,
+        emit_eps=False, interpret=interpret)
+
+    lam = jnp.asarray(cfg.lam, jnp.float32)
+    m = lax.pmin(m_loc, SAMPLES_AXIS)                      # (B_local,)
+    scale = jnp.exp((m - m_loc) / lam)
+    eta = lax.psum(eta_loc * scale, SAMPLES_AXIS)
+    a = lax.psum(a_local * scale[:, None, None], SAMPLES_AXIS)
+    w_eps_raw = (a / eta[:, None, None]).astype(dtype)
+    w_local = (jnp.exp(-(s_local - m[:, None]) / lam)
+               / eta[:, None]).astype(dtype)
+
+    w_eps = jax.vmap(lambda x: median_filter_reflect(x, cfg.filter_window)
+                     )(w_eps_raw)
+    u_seq = u_prev + w_eps
+    return (u_seq[:, 0], u_seq, jax.vmap(_shift)(u_seq), wp_new, path_end,
+            s_local.astype(dtype), w_local)
+
+
+def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
+                       backend: str = "xla", interpret: bool = False):
     """Build a jitted sharded solve over a batch of scenarios.
 
     Signature of the returned function:
@@ -81,11 +133,18 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh):
             path_end (B,), S (B,K), w (B,K))
 
     B must divide by the 'data' axis size and K by the 'samples' axis size.
+    ``backend='pallas'`` runs the fused kernel per shard with the two-level
+    online-softmax cross-shard combine (``interpret=True`` for CPU tests).
     """
-    def _per_device(ref_path, observed, u_prev, wp_idx, eps):
-        return jax.vmap(
-            lambda o, u, w, e: _solve_local(arm, cfg, ref_path, o, u, w, e)
-        )(observed, u_prev, wp_idx, eps)
+    if backend == "pallas":
+        def _per_device(ref_path, observed, u_prev, wp_idx, eps):
+            return _solve_local_pallas(arm, cfg, ref_path, observed, u_prev,
+                                       wp_idx, eps, interpret=interpret)
+    else:
+        def _per_device(ref_path, observed, u_prev, wp_idx, eps):
+            return jax.vmap(
+                lambda o, u, w, e: _solve_local(arm, cfg, ref_path, o, u, w, e)
+            )(observed, u_prev, wp_idx, eps)
 
     fn = shard_map(
         _per_device,

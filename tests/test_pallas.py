@@ -131,7 +131,7 @@ def test_batched_kernel_matches_per_scenario(ref_path, rng):
     windows = jnp.tile(window[None], (b, 1, 1))
     nvalid = jnp.full((b,), np.float32(np.asarray(valid).sum()))
 
-    w_b, s_b, e_b = pallas_solve_batched(
+    w_b, s_b, e_b, _ = pallas_solve_batched(
         ARM, cfg, jnp.asarray(x0s, jnp.float32), jnp.asarray(us),
         windows, nvalid, eps=jnp.asarray(eps), interpret=True, tile=128)
     for i in range(b):

@@ -123,3 +123,34 @@ def test_entry_compiles():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out[0])))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 8), (4, 2)])
+def test_sharded_pallas_matches_single_chip(ref_path, rng, mesh_shape):
+    """Fused kernel per shard + two-level online-softmax combine over the
+    'samples' axis == the single-chip XLA solve (f32)."""
+    data_ax, samples_ax = mesh_shape
+    mesh = make_mesh(data=data_ax, samples=samples_ax)
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128 * samples_ax,
+                              horizon=6)
+    batch = data_ax
+    obs, u_prev, wp_idx, eps = _batch_inputs(cfg, batch, rng, jnp.float32)
+    ref = jnp.asarray(ref_path, jnp.float32)
+
+    sharded = make_sharded_solve(ARM, cfg, mesh, backend="pallas",
+                                 interpret=True)
+    u0_s, useq_s, unext_s, wp_s, end_s, s_s, w_s = sharded(
+        ref, obs, u_prev, wp_idx, eps)
+
+    for b in range(batch):
+        res = solve(ARM, cfg, ref, obs[b],
+                    MPPIState(u_prev=u_prev[b], wp_idx=wp_idx[b]),
+                    eps=eps[b])
+        np.testing.assert_allclose(np.asarray(s_s[b]), np.asarray(res.costs),
+                                   rtol=3e-5)
+        np.testing.assert_allclose(np.asarray(u0_s[b]), np.asarray(res.u0),
+                                   rtol=1e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(w_s[b]),
+                                   np.asarray(res.weights), rtol=1e-3,
+                                   atol=1e-6)
+        assert int(wp_s[b]) == int(res.state.wp_idx)
