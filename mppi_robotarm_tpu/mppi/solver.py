@@ -110,19 +110,30 @@ def solve(
         from ..ops.pallas_rollout import pallas_solve_core
 
         nvalid = jnp.sum(valid.astype(jnp.float32))
+        # With fuse_update the kernel also applies the median filter (Q10)
+        # and the u update (Q3), returning u_new directly.
+        fuse = cfg.filter_window <= 2 * cfg.horizon
         if eps is None:
             # hardware PRNG seed derived from the threefry key
             seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
-            w_eps_raw, s, eps = pallas_solve_core(
-                arm, cfg, observed_x, state.u_prev, window, nvalid, seed=seed)
-        else:
-            w_eps_raw, s, eps = pallas_solve_core(
+            out, s, eps = pallas_solve_core(
                 arm, cfg, observed_x, state.u_prev, window, nvalid,
-                eps=eps.astype(jnp.float32))
-        w_eps_raw = w_eps_raw.astype(dtype)
+                seed=seed, fuse_update=fuse)
+        else:
+            out, s, eps = pallas_solve_core(
+                arm, cfg, observed_x, state.u_prev, window, nvalid,
+                eps=eps.astype(jnp.float32), fuse_update=fuse)
         s = s.astype(dtype)
         w = mppi_weights(s, cfg.lam)
+        if fuse:
+            u_seq = out.astype(dtype)
+            next_state = MPPIState(u_prev=shift_warm_start(u_seq),
+                                   wp_idx=wp_idx)
+            return SolveResult(
+                u0=u_seq[0], u_seq=u_seq, state=next_state,
+                path_end=path_end, costs=s, weights=w, eps=eps)
+        w_eps_raw = out.astype(dtype)
     else:
         if eps is None:
             chol = sigma_cholesky(cfg.sigma)

@@ -155,6 +155,7 @@ def _solve_kernel(
     use_prng: bool,
     emit_eps: bool = True,
     normalize: bool = True,
+    fuse_update: bool = False,
     unroll_t: bool = False,
     unroll_w: bool = True,
 ):
@@ -253,8 +254,13 @@ def _solve_kernel(
     stat_ref[0] = m_new
     stat_ref[1] = stat_ref[1] * rescale + jnp.sum(e)
 
+    # acc rows are DIM-MAJOR (row c*T + t holds dim c, step t) so the median
+    # filter's horizon-axis windows are contiguous row ranges; eps_buf stays
+    # interleaved (rows 2t, 2t+1), hence the index remap here.
     def acc_body(r, _):
-        contrib = jnp.sum(e * eps_buf[pl.ds(r, 1)][0])
+        t = jax.lax.rem(r, T)
+        c = r // T
+        contrib = jnp.sum(e * eps_buf[pl.ds(2 * t + c, 1)][0])
         acc_buf[pl.ds(r, 1)] = acc_buf[pl.ds(r, 1)] * rescale + contrib
         return 0
 
@@ -262,9 +268,41 @@ def _solve_kernel(
 
     @pl.when(p_id == n_p - 1)
     def _finalize():
-        # rows 0..2T-1: Σ e·ε (normalized by local η unless a cross-shard
-        # combine follows); row 2T: running min m; row 2T+1: local η.
-        if normalize:
+        # rows 0..2T-1 (dim-major): Σ e·ε — normalized by η, or raw when a
+        # cross-shard combine follows; with fuse_update, the full reference
+        # post-processing (median filter Q10 + u update Q3) happens here and
+        # the rows hold u_new instead.  Row 2T: running min m; 2T+1: local η.
+        if fuse_update:
+            fw = cfg.filter_window
+            left = fw // 2
+            rank = fw // 2
+            inv_eta = 1.0 / stat_ref[1]
+            for c in range(2):
+                base = c * T
+                # reflect-padded row lookup (scipy 'reflect', single fold —
+                # enforced by the wrapper: fw <= 2T)
+                def row(i):
+                    j = i if 0 <= i < T else (-1 - i if i < 0
+                                              else 2 * T - 1 - i)
+                    return acc_buf[pl.ds(base + j, 1)] * inv_eta
+                padded = jnp.concatenate(
+                    [row(i) for i in range(-left, T - left + fw - 1)],
+                    axis=0)                          # (T + fw - 1, 128)
+                # odd-even transposition sort over the fw window values,
+                # vectorised across all T output rows at once
+                windows = [padded[k:k + T] for k in range(fw)]
+                for rnd in range(fw):
+                    start = rnd % 2
+                    for i in range(start, fw - 1, 2):
+                        lo = jnp.minimum(windows[i], windows[i + 1])
+                        hi = jnp.maximum(windows[i], windows[i + 1])
+                        windows[i], windows[i + 1] = lo, hi
+                med = windows[rank]                  # (T, 128)
+                u_col = jnp.concatenate(
+                    [jnp.full((1, _LANES), u_ref[t, c]) for t in range(T)],
+                    axis=0)
+                weps_ref[pl.ds(base, T)] = u_col + med
+        elif normalize:
             weps_ref[0:2 * T] = acc_buf[...] / stat_ref[1]
         else:
             weps_ref[0:2 * T] = acc_buf[...]
@@ -285,6 +323,7 @@ def pallas_solve_batched(
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
     emit_eps: bool = True,                # return the (B,K,T,2) noise used
     normalize: bool = True,               # divide Σe·ε by η in-kernel
+    fuse_update: bool = False,            # also median-filter + add u in-kernel
     k_local: Optional[int] = None,        # shard-local K (defaults to cfg K)
     k_offset: Optional[jnp.ndarray] = None,  # (B,) global idx of sample 0
     unroll_t: bool = False,               # fully unroll horizon/acc loops
@@ -361,10 +400,13 @@ def pallas_solve_batched(
             B, n_tiles, 2 * T, sub, _LANES)
         eps_in_block = (None, None, 2 * T, sub, _LANES)
 
+    if fuse_update and (not normalize or cfg.filter_window > 2 * T):
+        raise ValueError("fuse_update requires normalize=True and "
+                         "filter_window <= 2*horizon")
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
-        emit_eps=emit_eps, normalize=normalize, unroll_t=unroll_t,
-        unroll_w=unroll_w)
+        emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,
+        unroll_t=unroll_t, unroll_w=unroll_w)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -410,7 +452,9 @@ def pallas_solve_batched(
     )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
 
     s_flat = s_out.reshape(B, Kpad)[:, :K]
-    w_eps = weps_out[:, :2 * T, 0].reshape(B, T, 2)
+    # rows are dim-major: (B, 2, T) -> (B, T, 2).  With fuse_update the rows
+    # already hold u_new = u + median(Σwε) (quirks Q10 + Q3).
+    w_eps = weps_out[:, :2 * T, 0].reshape(B, 2, T).transpose(0, 2, 1)
     stats = (weps_out[:, 2 * T, 0], weps_out[:, 2 * T + 1, 0])   # (m, η)
     if not emit_eps:
         return w_eps, s_flat, None, stats
@@ -431,12 +475,14 @@ def pallas_solve_core(
     interpret: bool = False,
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
     emit_eps: bool = True,                # return the (K,T,2) noise actually used
+    fuse_update: bool = False,            # rows hold u_new instead of Σwε
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
-    Returns (w_eps_raw (T,2), S (K,), eps (K,T,2) or None).
+    Returns (w_eps_raw (T,2) — or u_new with fuse_update — , S (K,),
+    eps (K,T,2) or None).
     """
     w_eps, s, eps_used, _ = pallas_solve_batched(
         arm, cfg, x0[None], u[None], window[None],
@@ -444,6 +490,6 @@ def pallas_solve_core(
         seed=None if seed is None else jnp.asarray(seed)[None],
         eps=None if eps is None else eps[None],
         interpret=interpret, tile=tile, emit_eps=emit_eps,
-        unroll_t=unroll_t, unroll_w=unroll_w,
+        fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
     )
     return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

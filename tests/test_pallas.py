@@ -191,3 +191,43 @@ def test_non_lane_multiple_k_padding(ref_path, rng):
     np.testing.assert_allclose(np.asarray(s), s_exp, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(w_eps), weps_exp, rtol=1e-3,
                                atol=1e-4)
+
+
+def test_fuse_update_matches_separate_median(ref_path, rng):
+    """In-kernel median+update == XLA median_filter + add (bit-level: both
+    use exact min/max comparisons)."""
+    from mppi_robotarm_tpu.ops.filters import median_filter_reflect
+    from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=12)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = rng.normal(size=(1, 256, t, 2)).astype(np.float32) * 4.0
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    nvalid = jnp.full((1,), np.float32(valid.sum()))
+
+    w_raw, s1, _, _ = pallas_solve_batched(
+        ARM, cfg, jnp.asarray(X0[None], jnp.float32), jnp.asarray(u[None]),
+        window[None], nvalid, eps=jnp.asarray(eps), interpret=True)
+    expected = u + np.asarray(
+        median_filter_reflect(w_raw[0], cfg.filter_window))
+
+    u_new, s2, _, _ = pallas_solve_batched(
+        ARM, cfg, jnp.asarray(X0[None], jnp.float32), jnp.asarray(u[None]),
+        window[None], nvalid, eps=jnp.asarray(eps), interpret=True,
+        fuse_update=True)
+    np.testing.assert_allclose(np.asarray(u_new[0]), expected, rtol=1e-6,
+                               atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+
+def test_fuse_update_validation(ref_path):
+    from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=4)
+    window, _ = slice_window(jnp.asarray(ref_path, jnp.float32), 0, 30)
+    with pytest.raises(ValueError, match="fuse_update"):
+        pallas_solve_batched(
+            ARM, cfg, jnp.zeros((1, 4)), jnp.zeros((1, 4, 2)), window[None],
+            jnp.full((1,), 30.0), seed=jnp.zeros((1,), jnp.int32),
+            fuse_update=True, normalize=False, interpret=True)
