@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace into this dir")
     p.add_argument("--metrics-every", type=int, default=100)
+    p.add_argument("--batch", type=int, default=0,
+                   help="run B parallel scenarios (initial states jittered "
+                        "per scenario); records/figures cover scenario 0")
     p.add_argument("--render-step", type=int, default=None,
                    help="after the run, render the sampled/optimal "
                         "trajectories at this recorded step (the reference's "
@@ -84,6 +87,38 @@ def main(argv=None) -> int:
     ref = (load_ref_path(args.ref_path) if args.ref_path
            else synth_circle_path(max(2000, steps + mppi.search_idx_len + 2)))
     ref_j = jnp.asarray(ref)
+
+    if args.batch > 0:
+        from .sim.loop import init_sim_batch, simulate_batch
+
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(args.seed, args.seed + args.batch))
+        q0 = (jnp.asarray([sim.q0], jnp.float32)
+              + 0.01 * jax.random.normal(jax.random.PRNGKey(args.seed + 1),
+                                         (args.batch, 2)))
+        states = init_sim_batch(mppi, sim, keys, q0=q0)
+        t0 = time.perf_counter()
+        final, recb = simulate_batch(arm, mppi, sim, ref_j, states, steps,
+                                     backend=args.backend)
+        jax.block_until_ready(recb.q)
+        wall = time.perf_counter() - t0
+        ee_last = np.asarray(recb.ee[-1])
+        err = np.linalg.norm(
+            ee_last - ref[min(steps, ref.shape[0] - 1), 0:2], axis=-1)
+        print(json.dumps({
+            "batch": args.batch, "steps": steps, "K": mppi.num_samples,
+            "T": mppi.horizon, "backend": args.backend,
+            "wall_s": round(wall, 3),
+            "scenario_solves_per_s": round(args.batch * steps / wall, 1),
+            "ee_median_m": round(float(np.median(err)), 6),
+            "ee_p95_m": round(float(np.percentile(err, 95)), 6),
+        }))
+        if args.out_dir:
+            os.makedirs(args.out_dir, exist_ok=True)
+            np.savez(os.path.join(args.out_dir, "batch_record.npz"),
+                     **{f: np.asarray(getattr(recb, f))
+                        for f in recb._fields})
+        return 0
 
     if args.checkpoint and os.path.exists(args.checkpoint):
         state = load_checkpoint(args.checkpoint)

@@ -29,3 +29,20 @@ def test_multihost_init_noop():
     """initialize_multihost is safely a no-op on a single-process CPU run."""
     from mppi_robotarm_tpu.parallel.mesh import initialize_multihost
     initialize_multihost()  # must not raise
+
+
+def test_cli_batch_mode(tmp_path):
+    import json
+    import os
+    import contextlib
+    import io
+    from mppi_robotarm_tpu.cli import main
+    out = os.path.join(tmp_path, "b")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(["--steps", "4", "--samples", "16", "--horizon", "6",
+                   "--batch", "3", "--out-dir", out])
+    assert rc == 0
+    summary = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert summary["batch"] == 3 and summary["steps"] == 4
+    assert os.path.exists(os.path.join(out, "batch_record.npz"))
