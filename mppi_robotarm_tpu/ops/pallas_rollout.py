@@ -44,14 +44,22 @@ _LANES = 128
 _TWO_PI = 2.0 * math.pi
 
 
-def _pick_tile(k: int) -> int:
-    """K-tile size: whole K when small, else the largest 1024..8192 divisor."""
-    if k <= 8192:
+def _pick_tile(k: int, horizon: int = 50) -> int:
+    """K-tile size: whole K when small, else the largest VMEM-fitting divisor.
+
+    VMEM must hold ~3 copies of the (2T, tile/128, 128) noise layout
+    (input block, scratch, output block); cap the tile so that stays under
+    ~10 MB and Mosaic has headroom for double buffering.
+    """
+    budget = 10 << 20
+    max_sub = max(1, budget // (3 * 2 * horizon * _LANES * 4))
+    cap = max_sub * _LANES
+    if k <= min(8192, cap):
         return k
-    for cand in (8192, 4096, 2048, 1024):
-        if k % cand == 0:
+    for cand in (8192, 4096, 2048, 1024, 512, 256, 128):
+        if cand <= cap and k % cand == 0:
             return cand
-    raise ValueError(f"K={k} must be a multiple of 1024 when K > 8192")
+    raise ValueError(f"K={k} must be a multiple of 128 when K > one tile")
 
 
 def _uniform_from_bits(bits):
@@ -355,7 +363,7 @@ def pallas_solve_batched(
     # Pad K up to a lane multiple; padded samples carry +inf cost in-kernel
     # so they are exact no-ops in the softmax and Σwε.
     Kpad = -(-K // _LANES) * _LANES
-    tile = tile or _pick_tile(Kpad)
+    tile = tile or _pick_tile(Kpad, T)
     if Kpad % tile or tile % _LANES:
         raise ValueError(f"padded K={Kpad} must be a multiple of {_LANES}")
     n_tiles = Kpad // tile

@@ -231,3 +231,15 @@ def test_fuse_update_validation(ref_path):
             ARM, cfg, jnp.zeros((1, 4)), jnp.zeros((1, 4, 2)), window[None],
             jnp.full((1,), 30.0), seed=jnp.zeros((1,), jnp.int32),
             fuse_update=True, normalize=False, interpret=True)
+
+
+def test_tile_respects_vmem_budget():
+    from mppi_robotarm_tpu.ops.pallas_rollout import _pick_tile
+    # default horizon: whole-K tiles up to 8192
+    assert _pick_tile(1024, 50) == 1024
+    assert _pick_tile(8192, 50) == 8192
+    assert _pick_tile(65536, 50) == 8192
+    # long horizons shrink the tile so 3x the noise buffer fits in ~10MB
+    t = _pick_tile(8192, 200)
+    assert t < 8192 and 3 * 2 * 200 * (t // 128) * 128 * 4 <= (10 << 20)
+    assert 8192 % t == 0
