@@ -30,7 +30,8 @@ def main() -> None:
 
     enable_persistent_cache()
     from mppi_robotarm_tpu import (
-        benchmark_preset, init_sim, simulate, synth_circle_path,
+        benchmark_preset, init_sim, simulate, simulate_fused,
+        synth_circle_path,
     )
 
     arm, cfg, sim = benchmark_preset()          # K=1024, H=50
@@ -42,26 +43,34 @@ def main() -> None:
     steps = 1000
 
     state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
-    # The fused Pallas kernel is the production path; the portable XLA scan
-    # is the fallback (e.g. CPU-only environments).  Only one backend is
-    # compiled to keep the bench's wall time bounded.
+    # Fastest first: the fully-fused closed-loop kernel (whole loop in one
+    # kernel invocation), then the per-step fused-solve path, then the
+    # portable XLA scan.  Only the first working backend is compiled so the
+    # bench's wall time stays bounded.
+    def run_fused(n):
+        return simulate_fused(arm, cfg, sim, ref_path, state0, n)
+
+    def run_scan(backend):
+        return lambda n: simulate(arm, cfg, sim, ref_path, state0, n,
+                                  backend=backend)
+
     results = {}
-    for backend in ("pallas", "xla"):
+    for name, runner in (("pallas-fused", run_fused),
+                         ("pallas", run_scan("pallas")),
+                         ("xla", run_scan("xla"))):
         try:
-            out = simulate(arm, cfg, sim, ref_path, state0, steps,
-                           backend=backend)
+            out = runner(steps)
             jax.block_until_ready(out)          # compile + warmup
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = simulate(arm, cfg, sim, ref_path, state0, steps,
-                               backend=backend)
+                out = runner(steps)
                 jax.block_until_ready(out)
                 times.append(time.perf_counter() - t0)
-            results[backend] = (steps / min(times), out)
+            results[name] = (steps / min(times), out)
             break
-        except Exception as e:  # fall back to the portable path
-            print(f"backend {backend} failed: {type(e).__name__}: {e}",
+        except Exception as e:  # fall back to the next path
+            print(f"backend {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     assert results, "no backend produced a result"
     best_backend = max(results, key=lambda b: results[b][0])

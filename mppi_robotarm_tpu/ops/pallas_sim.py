@@ -1,0 +1,428 @@
+"""The ENTIRE receding-horizon closed loop as ONE Pallas kernel.
+
+simulate(backend='pallas') still dispatches ~30 small XLA ops per step around
+the fused solve kernel (waypoint gather/argmin, plant step, PRNG key splits,
+record assembly) — measured ~27 µs/step of glue vs ~37 µs of kernel
+(tools/tpu_profile_loop.py).  This kernel absorbs all of it: N closed-loop
+steps run inside a single kernel invocation with zero host/XLA involvement:
+
+  per step (all in VMEM/SMEM):
+    waypoint-window refresh from the VMEM ref path (dynamic scalar reads)
+    → frozen-index advance (scalar argmin, reference control.py:200-232, Q5)
+    → path-end freeze flag (Q6)
+    → hardware-PRNG noise → K-sample rollout + cost (shared helpers)
+    → softmax + Σwε → median filter + control update (Q10/Q3)
+    → semi-implicit plant step at sim dt (run.py:53-55, Q2)
+    → record row write
+
+The control sequence lives as lane-duplicated VMEM rows (dim-major, row
+c·T+t) so the rollout consumes it as (1,128) broadcast operands — no
+scalar extraction on the hot path.
+
+Scope: single scenario, single K-tile (K ≤ one tile after padding); the
+step loop cannot interleave with a sequential multi-tile grid because every
+step needs all tiles' softmax contributions.  Larger K uses the per-step
+kernel (ops/pallas_rollout.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ArmParams, MPPIConfig, SimConfig
+from .pallas_rollout import (
+    _LANES,
+    _box_muller,
+    _dynamics_step,
+    _pick_tile,
+    _tracking_cost,
+)
+from .noise import sigma_inverse
+
+# record-row lane assignment
+_REC_LANES = 10  # [q1,q2,dq1,dq2,u1,u2,wp_idx,done,cost_min,cost_mean]
+
+
+def _sim_kernel(
+    scalars_ref,   # SMEM (8,): [q1,q2,dq1,dq2, seed, wp_idx0, n_ref, k_actual]
+    chol_ref,      # SMEM (3,): [L11, L21, L22]
+    sinv_ref,      # SMEM (4,): Σ⁻¹ row-major
+    u0_ref,        # VMEM (2T, 128) initial warm start, dim-major lane-dup rows
+    ref_ref,       # VMEM (Npad, 4) reference path
+    eps_in_ref,    # VMEM (N*2T, sub, 128) injected noise or (1,1,128) dummy
+    rec_ref,       # VMEM (N, 128) per-step records (lanes per _REC_LANES)
+    ufin_ref,      # VMEM (2T, 128) final warm-started control rows
+    u_rows,        # VMEM (2T, 128) scratch: current control rows (dim-major)
+    eps_buf,       # VMEM (2T, sub, 128) scratch
+    pad_buf,       # VMEM (T + fw - 1, 128) scratch: reflect-padded Σwε rows
+    win_ref,       # SMEM (32, 4) scratch: current waypoint window
+    st_ref,        # SMEM (8,) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f), -, -]
+    *,
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    n_steps: int,
+    tile: int,
+    use_prng: bool,
+):
+    T = cfg.horizon
+    W = cfg.search_idx_len
+    sub = tile // _LANES
+    lam = jnp.float32(cfg.lam)
+    gamma = jnp.float32(cfg.gamma)
+    dt_c = jnp.float32(cfg.delta_t)
+    dt_p = jnp.float32(sim.dt)
+    stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
+    term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
+    dist = (jnp.float32(sim.disturbance[0]), jnp.float32(sim.disturbance[1]))
+    n_ref = scalars_ref[6]
+    k_actual = scalars_ref[7]
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+
+    # init scratch state
+    for i in range(4):
+        st_ref[i] = scalars_ref[i]
+    st_ref[4] = scalars_ref[5]          # wp_idx as f32
+    st_ref[5] = jnp.float32(0.0)        # done flag
+    u_rows[...] = u0_ref[...]
+
+    def refresh_window(widx):
+        """Copy ref rows [widx .. widx+W) into SMEM, clamped (truncation).
+
+        Loads each (1,4) row as a vector and extracts lanes at STATIC
+        indices — real Mosaic rejects dynamic lane-index scalar loads
+        ("index in dimension 1 must be a multiple of 128").
+        """
+        def cp(j, _):
+            src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
+            row = ref_ref[pl.ds(src, 1)]          # (1, 4) vector load
+            win_ref[j, 0] = row[0, 0]
+            win_ref[j, 1] = row[0, 1]
+            win_ref[j, 2] = row[0, 2]
+            win_ref[j, 3] = row[0, 3]
+            return 0
+        jax.lax.fori_loop(0, W, cp, 0)
+
+    def step_body(step, _):
+        done = st_ref[5] > 0.5
+
+        @pl.when(jnp.logical_not(done))
+        def _run():
+            q1o = st_ref[0]
+            q2o = st_ref[1]
+            widx = st_ref[4].astype(jnp.int32)
+
+            # ---- waypoint-index advance (control.py:75, Q5) -------------
+            x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
+            y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
+            refresh_window(widx)
+
+            def am(j, carry):
+                bd, bj = carry
+                dx = x - win_ref[j, 0]
+                dy = y - win_ref[j, 1]
+                d = (dx * dx + dy * dy) * jnp.float32(cfg.dist_scale)
+                valid = (widx + j) < n_ref.astype(jnp.int32)
+                d = jnp.where(valid, d, jnp.float32(np.inf))
+                better = d < bd
+                return (jnp.where(better, d, bd), jnp.where(better, j, bj))
+
+            _, off = jax.lax.fori_loop(0, W, am,
+                                       (jnp.float32(np.inf), jnp.int32(0)))
+            widx = widx + off
+            st_ref[4] = widx.astype(jnp.float32)
+            path_end = widx >= n_ref.astype(jnp.int32) - 1
+            st_ref[5] = jnp.where(path_end, jnp.float32(1.0), jnp.float32(0.0))
+
+            @pl.when(jnp.logical_not(path_end))
+            def _solve_and_step():
+                refresh_window(widx)
+                nvalid = jnp.minimum(
+                    jnp.float32(W),
+                    (n_ref - widx.astype(jnp.float32)))
+
+                # ---- noise ------------------------------------------------
+                if use_prng:
+                    pltpu.prng_seed(scalars_ref[4].astype(jnp.int32), step)
+                    l11 = chol_ref[0]
+                    l21 = chol_ref[1]
+                    l22 = chol_ref[2]
+
+                    def gen(t, _):
+                        z1, z2 = _box_muller((sub, _LANES))
+                        eps_buf[pl.ds(2 * t, 1)] = (l11 * z1)[None]
+                        eps_buf[pl.ds(2 * t + 1, 1)] = (l21 * z1
+                                                        + l22 * z2)[None]
+                        return 0
+
+                    jax.lax.fori_loop(0, T, gen, 0)
+                else:
+                    eps_buf[...] = eps_in_ref[pl.ds(step * 2 * T, 2 * T)]
+
+                # ---- K-sample rollout + cost ------------------------------
+                shape = (sub, _LANES)
+                q1 = jnp.full(shape, st_ref[0], jnp.float32)
+                q2 = jnp.full(shape, st_ref[1], jnp.float32)
+                dq1 = jnp.full(shape, st_ref[2], jnp.float32)
+                dq2 = jnp.full(shape, st_ref[3], jnp.float32)
+                s = jnp.zeros(shape, jnp.float32)
+                k_idx = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+                         * _LANES
+                         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                         ).astype(jnp.float32)
+                exploit = k_idx < jnp.float32(
+                    (1.0 - cfg.exploration) * cfg.num_samples)
+                si0 = sinv_ref[0]
+                si1 = sinv_ref[1]
+                si2 = sinv_ref[2]
+                si3 = sinv_ref[3]
+
+                def roll(t, carry):
+                    q1, q2, dq1, dq2, s = carry
+                    e1 = eps_buf[pl.ds(2 * t, 1)][0]
+                    e2 = eps_buf[pl.ds(2 * t + 1, 1)][0]
+                    u1r = u_rows[pl.ds(t, 1)]            # (1,128) lane-dup
+                    u2r = u_rows[pl.ds(T + t, 1)]
+                    v1 = jnp.where(exploit, u1r + e1, e1)
+                    v2 = jnp.where(exploit, u2r + e2, e2)
+                    if cfg.u_clamp is not None:
+                        v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+                        v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+                    q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2,
+                                                      v1, v2, dt_c, arm)
+                    s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
+                                           *stage_w, cfg=cfg, window_len=W,
+                                           unroll=True)
+                    su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
+                    su2 = si2 * u1r + si3 * u2r
+                    s = s + gamma * (v1 * su1 + v2 * su2)
+                    return q1, q2, dq1, dq2, s
+
+                q1, q2, dq1, dq2, s = jax.lax.fori_loop(
+                    0, T, roll, (q1, q2, dq1, dq2, s))
+                s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
+                                       *term_w, cfg=cfg, window_len=W,
+                                       unroll=True)
+                s = jnp.where(k_idx < k_actual, s, jnp.float32(np.inf))
+
+                # ---- softmax + Σwε + median + u update --------------------
+                m = jnp.min(s)
+                e = jnp.exp(-(s - m) / lam)
+                eta = jnp.sum(e)
+                cost_min = m
+                cost_mean = (jnp.sum(jnp.where(k_idx < k_actual, s, 0.0))
+                             / k_actual)
+                inv_eta = 1.0 / eta
+
+                fw = cfg.filter_window
+                left = fw // 2
+                right = fw - left - 1
+                rank = fw // 2
+                for c in range(2):
+                    base = c * T
+
+                    # Σwε rows into the padded scratch interior (rolled loop
+                    # keeps the per-step graph small for Mosaic compile)
+                    def fill(t, _):
+                        v = jnp.sum(
+                            e * eps_buf[pl.ds(2 * t + c, 1)][0]) * inv_eta
+                        pad_buf[pl.ds(left + t, 1)] = jnp.full(
+                            (1, _LANES), v)
+                        return 0
+
+                    jax.lax.fori_loop(0, T, fill, 0)
+
+                    # scipy 'reflect' edges (single fold; fw <= 2T enforced)
+                    def lpad(i, _):
+                        pad_buf[pl.ds(left - 1 - i, 1)] = \
+                            pad_buf[pl.ds(left + i, 1)]
+                        return 0
+
+                    def rpad(i, _):
+                        pad_buf[pl.ds(left + T + i, 1)] = \
+                            pad_buf[pl.ds(left + T - 1 - i, 1)]
+                        return 0
+
+                    jax.lax.fori_loop(0, left, lpad, 0)
+                    jax.lax.fori_loop(0, right, rpad, 0)
+
+                    # odd-even transposition sort over the fw shifted views,
+                    # vectorised across all T output rows at once (slice the
+                    # loaded VALUE, not the ref — compile-friendlier)
+                    pb = pad_buf[...]
+                    windows = [jax.lax.slice_in_dim(pb, k, k + T)
+                               for k in range(fw)]
+                    for rnd in range(fw):
+                        for i in range(rnd % 2, fw - 1, 2):
+                            lo = jnp.minimum(windows[i], windows[i + 1])
+                            hi = jnp.maximum(windows[i], windows[i + 1])
+                            windows[i], windows[i + 1] = lo, hi
+                    med = windows[rank]                  # (T,128)
+                    u_rows[pl.ds(base, T)] = u_rows[pl.ds(base, T)] + med
+
+                # ---- plant step (run.py:53-55, Q2) ------------------------
+                u0_1 = u_rows[0, 0]
+                u0_2 = u_rows[T, 0]
+                pq1 = st_ref[0]
+                pq2 = st_ref[1]
+                pdq1 = st_ref[2]
+                pdq2 = st_ref[3]
+                c2 = jnp.cos(pq2)
+                m11 = (arm.m1 * arm.lc1 ** 2 + arm.l1
+                       + arm.m2 * (arm.l1 ** 2 + arm.lc2 ** 2
+                                   + 2.0 * arm.l1 * arm.lc2 * c2) + arm.l2)
+                m12 = (arm.m2 * arm.l1 * arm.lc2 * c2
+                       + arm.m2 * arm.lc2 ** 2 + arm.l2)
+                m22 = arm.m2 * arm.lc2 ** 2 + arm.l2
+                h = arm.m2 * arm.l1 * arm.lc2 * jnp.sin(pq2)
+                c1 = jnp.cos(pq1)
+                c12 = jnp.cos(pq1 + pq2)
+                g1 = (arm.m1 * arm.lc1 * arm.g * c1
+                      + arm.m2 * arm.g * (arm.lc2 * c12 + arm.l1 * c1))
+                g2 = arm.m2 * arm.lc2 * arm.g * c12
+                r1 = (u0_1 + dist[0]
+                      - (-h * pdq2 * pdq1 + (-h * pdq1 - h * pdq2) * pdq2)
+                      - g1)
+                r2 = u0_2 + dist[1] - (h * pdq1 * pdq1) - g2
+                invd = 1.0 / (m11 * m22 - m12 * m12)
+                dd1 = (m22 * r1 - m12 * r2) * invd
+                dd2 = (-m12 * r1 + m11 * r2) * invd
+                ndq1 = pdq1 + dt_p * dd1
+                ndq2 = pdq2 + dt_p * dd2
+                st_ref[0] = pq1 + dt_p * ndq1
+                st_ref[1] = pq2 + dt_p * ndq2
+                st_ref[2] = ndq1
+                st_ref[3] = ndq2
+
+                # ---- record row -------------------------------------------
+                vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                        u0_1, u0_2, widx.astype(jnp.float32),
+                        jnp.float32(0.0), cost_min, cost_mean)
+                row = jnp.zeros((1, _LANES), jnp.float32)
+                for i, v in enumerate(vals):
+                    row = jnp.where(lane_iota == i, v, row)
+                rec_ref[pl.ds(step, 1)] = row
+
+                # ---- warm-start shift (control.py:148-149, Q3) ------------
+                def shift(t, _):
+                    u_rows[pl.ds(t, 1)] = u_rows[pl.ds(t + 1, 1)]
+                    u_rows[pl.ds(T + t, 1)] = u_rows[pl.ds(T + t + 1, 1)]
+                    return 0
+
+                jax.lax.fori_loop(0, T - 1, shift, 0)
+
+            @pl.when(path_end)
+            def _mark_end():
+                row = jnp.where(lane_iota == 6, widx.astype(jnp.float32),
+                                jnp.zeros((1, _LANES), jnp.float32))
+                row = jnp.where(lane_iota == 7, 1.0, row)
+                rec_ref[pl.ds(step, 1)] = row
+
+        @pl.when(done)
+        def _frozen():
+            row = jnp.where(lane_iota == 7, 1.0,
+                            jnp.zeros((1, _LANES), jnp.float32))
+            rec_ref[pl.ds(step, 1)] = row
+
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    ufin_ref[...] = u_rows[...]
+
+
+def pallas_sim_run(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,       # (N, 4)
+    q0: jnp.ndarray,             # (2,)
+    dq0: jnp.ndarray,            # (2,)
+    u_prev: jnp.ndarray,         # (T, 2)
+    wp_idx,                      # () int
+    seed,                        # () int32
+    n_steps: int,
+    eps: Optional[jnp.ndarray] = None,   # (n_steps, K, T, 2) injected
+    interpret: bool = False,
+):
+    """Run n_steps of the closed loop in one kernel invocation.
+
+    Returns (records (n_steps, 10) f32 — lanes per _REC_LANES, u_final (T,2)).
+    """
+    K, T = cfg.num_samples, cfg.horizon
+    tile = _pick_tile(-(-K // _LANES) * _LANES, T)
+    if tile < -(-K // _LANES) * _LANES:
+        raise ValueError(
+            f"fused sim requires K (= {K}) to fit one kernel tile")
+    sub = tile // _LANES
+    use_prng = eps is None
+
+    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
+    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
+    sinv = jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).reshape(4)
+    scalars = jnp.stack([
+        q0[0].astype(jnp.float32), q0[1].astype(jnp.float32),
+        dq0[0].astype(jnp.float32), dq0[1].astype(jnp.float32),
+        jnp.asarray(seed, jnp.float32),
+        jnp.asarray(wp_idx, jnp.float32),
+        jnp.float32(ref_path.shape[0]),
+        jnp.float32(K),
+    ])
+    # dim-major lane-duplicated control rows
+    u0_rows = jnp.broadcast_to(
+        u_prev.astype(jnp.float32).T.reshape(2 * T, 1), (2 * T, _LANES))
+
+    if use_prng:
+        eps_in = jnp.zeros((1, 1, _LANES), jnp.float32)
+    else:
+        e = eps.astype(jnp.float32)
+        if e.shape[1] != tile:
+            e = jnp.concatenate(
+                [e, jnp.zeros((n_steps, tile - e.shape[1], T, 2),
+                              jnp.float32)], axis=1)
+        eps_in = (e.reshape(n_steps, sub, _LANES, T, 2)
+                  .transpose(0, 3, 4, 1, 2)
+                  .reshape(n_steps * 2 * T, sub, _LANES))
+
+    kernel = functools.partial(
+        _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
+        use_prng=use_prng)
+
+    rec, ufin = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_steps, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((2 * T, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * T, _LANES), jnp.float32),       # u_rows
+            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),  # eps_buf
+            pltpu.VMEM((T + cfg.filter_window - 1, _LANES),
+                       jnp.float32),                        # pad_buf
+            pltpu.SMEM((32, 4), jnp.float32),               # window
+            pltpu.SMEM((8,), jnp.float32),                  # state
+        ],
+        interpret=interpret,
+    )(scalars, chol_flat, sinv, u0_rows, ref_path.astype(jnp.float32),
+      eps_in)
+
+    u_final = ufin[:, 0].reshape(2, T).T
+    return rec[:, :_REC_LANES], u_final

@@ -268,6 +268,65 @@ def simulate_batch(
     return lax.scan(body, states0, jnp.arange(num_steps))
 
 
+@partial(jax.jit,
+         static_argnames=("arm", "cfg", "sim", "num_steps"))
+def simulate_fused(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,
+    state0: SimState,
+    num_steps: int,
+    eps_per_step=None,
+):
+    """Closed loop with the WHOLE loop fused into one Pallas kernel.
+
+    The fastest single-scenario path (ops/pallas_sim.py): waypoint update,
+    noise, rollout, softmax, median, control update, plant step, and record
+    writes all execute in a single kernel invocation — no per-step XLA ops.
+    Requires K to fit one kernel tile (K ≤ 8192 at H=50).  Semantics match
+    :func:`simulate` (verified bitwise on state against the per-step path).
+
+    ``eps_per_step``: optional (num_steps, K, T, 2) injected noise (parity
+    seam); default uses the on-chip hardware PRNG seeded from state0.key.
+    """
+    from ..ops.pallas_sim import pallas_sim_run
+    from ..models.arm import fk_full as _fkf
+
+    key = state0.key
+    # derive a 31-bit seed from the raw key data (bit math, not threefry —
+    # keeps the surrounding XLA program trivial)
+    kd = (jax.random.key_data(key)
+          if jnp.issubdtype(getattr(key, "dtype", None), jax.dtypes.prng_key)
+          else key)
+    seed = (kd.reshape(-1)[-1].astype(jnp.uint32)
+            & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    rec_rows, u_fin = pallas_sim_run(
+        arm, cfg, sim, ref_path, state0.q, state0.dq, state0.mppi.u_prev,
+        state0.mppi.wp_idx, seed, num_steps,
+        eps=None if eps_per_step is None else jnp.asarray(eps_per_step))
+    q = rec_rows[:, 0:2]
+    dq = rec_rows[:, 2:4]
+    x1, y1, x2, y2 = _fkf(q[:, 0], q[:, 1], arm)
+    idx = jnp.minimum(jnp.arange(1, num_steps + 1), ref_path.shape[0] - 1)
+    rec = SimRecord(
+        q=q, dq=dq, u=rec_rows[:, 4:6],
+        ee=jnp.stack([x2, y2], axis=-1), elbow=jnp.stack([x1, y1], axis=-1),
+        ref_xy=ref_path[idx, 0:2],
+        wp_idx=rec_rows[:, 6].astype(jnp.int32),
+        cost_min=rec_rows[:, 8], cost_mean=rec_rows[:, 9],
+        done=rec_rows[:, 7] > 0.5,
+    )
+    done = rec.done[-1]
+    final = SimState(
+        step=state0.step + jnp.sum(~rec.done).astype(jnp.int32),
+        q=q[-1], dq=dq[-1],
+        mppi=MPPIState(u_prev=u_fin, wp_idx=rec.wp_idx[-1]),
+        key=key, done=done,
+    )
+    return final, rec
+
+
 def simulate_python(
     arm: ArmParams,
     cfg: MPPIConfig,

@@ -1,0 +1,128 @@
+"""Fully-fused closed-loop kernel (ops/pallas_sim.py) — parity vs the
+per-step drivers on the same injected noise (interpret mode on CPU)."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import mppi_robotarm_tpu as m
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig, SimConfig
+from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run
+
+ARM = ArmParams()
+SIM = SimConfig()
+
+
+def _run_pair(cfg, ref, steps, eps, interpret=True):
+    rec, ufin = pallas_sim_run(
+        ARM, cfg, SIM, ref, jnp.asarray(SIM.q0), jnp.asarray(SIM.dq0),
+        jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (cfg.horizon, 1)),
+        0, 0, steps, eps=jnp.asarray(eps), interpret=interpret)
+    s0 = m.init_sim(cfg, SIM, jax.random.PRNGKey(0))
+    _, recs = m.simulate_python(ARM, cfg, SIM, ref, s0, steps,
+                                eps_per_step=[jnp.asarray(e) for e in eps])
+    return np.asarray(rec), recs
+
+
+def test_fused_loop_matches_per_step(ref_path, rng):
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    steps = 6
+    eps = (rng.normal(size=(steps, 128, 8, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    rec, recs = _run_pair(cfg, ref, steps, eps)
+    # ulp-level seed difference (the per-step XLA path reduces Σwε with a
+    # different summation order than the kernel's jnp.sum) amplified by the
+    # mildly chaotic loop (see test_sim.py long-parity notes) — tolerance
+    # grows with step
+    for i in range(steps):
+        np.testing.assert_allclose(rec[i, 0:2], recs[i][0],
+                                   atol=2e-6 * 4 ** i,
+                                   err_msg=f"q step {i}")
+        np.testing.assert_allclose(rec[i, 4:6], recs[i][2],
+                                   atol=2e-5 * 4 ** i,
+                                   err_msg=f"u step {i}")
+        assert int(rec[i, 6]) == recs[i][3]
+        assert rec[i, 7] == 0.0
+
+
+def test_fused_loop_k_padding(ref_path, rng):
+    """K=100 (reference config) pads inside the fused loop too."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=100, horizon=6)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    steps = 4
+    eps = (rng.normal(size=(steps, 100, 6, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    rec, recs = _run_pair(cfg, ref, steps, eps)
+    for i in range(steps):
+        np.testing.assert_allclose(rec[i, 0:2], recs[i][0],
+                                   atol=2e-6 * 4 ** i,
+                                   err_msg=f"q step {i}")
+
+
+def test_fused_loop_path_end_freeze(rng):
+    """A short path trips the Q6 freeze; records mark done=1 afterwards."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    # 40 waypoints over a tiny arc (~1.9 mm spacing) so the tracker
+    # actually reaches the path end within the run
+    short = jnp.asarray(m.synth_circle_path(40, revolutions=0.02),
+                        jnp.float32)
+    steps = 200
+    eps = (rng.normal(size=(steps, 128, 6, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    rec, _ = pallas_sim_run(
+        ARM, cfg, SIM, short, jnp.asarray(SIM.q0), jnp.asarray(SIM.dq0),
+        jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (6, 1)),
+        0, 0, steps, eps=jnp.asarray(eps), interpret=True)
+    rec = np.asarray(rec)
+    assert rec[-1, 7] == 1.0, "should have frozen at path end"
+    first_done = int(np.argmax(rec[:, 7] > 0.5))
+    assert np.all(rec[first_done:, 7] == 1.0)
+
+
+def test_simulate_fused_wrapper(ref_path, rng):
+    """The public wrapper returns SimRecord/SimState equal to simulate()."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    steps = 5
+    eps = (rng.normal(size=(steps, 128, 8, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+
+    from jax.experimental.pallas import tpu as pltpu
+    import mppi_robotarm_tpu.ops.pallas_sim as ps
+    orig = ps.pallas_sim_run
+    ps.pallas_sim_run = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        s0 = m.init_sim(cfg, SIM, jax.random.PRNGKey(0))
+        final, rec = m.simulate_fused(ARM, cfg, SIM, ref, s0, steps,
+                                      eps_per_step=eps)
+    finally:
+        ps.pallas_sim_run = orig
+
+    s0b = m.init_sim(cfg, SIM, jax.random.PRNGKey(0))
+    _, recs = m.simulate_python(ARM, cfg, SIM, ref, s0b, steps,
+                                eps_per_step=[jnp.asarray(e) for e in eps])
+    np.testing.assert_allclose(np.asarray(rec.q[-1]), recs[-1][0],
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(final.q), recs[-1][0], atol=1e-4)
+    assert int(final.mppi.wp_idx) == recs[-1][3]
+    assert rec.q.shape == (steps, 2) and rec.ee.shape == (steps, 2)
+
+
+def test_fused_mosaic_lowering_aot(ref_path):
+    """Mosaic cross-lowering of the fused loop (x64 off for jax.export)."""
+    jax.config.update("jax_enable_x64", False)
+    try:
+        cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+        ref = jnp.asarray(ref_path[:400], jnp.float32)
+        f = lambda q0, dq0, up, wp, seed: pallas_sim_run(
+            ARM, cfg, SIM, ref, q0, dq0, up, wp, seed, 4)
+        args = (jnp.zeros(2), jnp.zeros(2), jnp.zeros((8, 2)),
+                jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32))
+        jax.export.export(jax.jit(f), platforms=["tpu"])(*args)
+    finally:
+        jax.config.update("jax_enable_x64", True)
