@@ -35,9 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--samples", type=int, default=None, help="K")
     p.add_argument("--horizon", type=int, default=None, help="T")
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--backend", choices=("xla", "pallas"), default="xla",
-                   help="rollout backend: portable XLA scan or the fused "
-                        "Pallas TPU kernel")
+    p.add_argument("--backend", choices=("xla", "pallas", "pallas-fused"),
+                   default="xla",
+                   help="portable XLA scan, per-step fused Pallas kernel, "
+                        "or the whole-loop fused kernel (fastest; single "
+                        "scenario, no --batch/--checkpoint-every)")
     p.add_argument("--out-dir", default=None,
                    help="save records (.npz), metrics (.json), figures")
     p.add_argument("--figures", action="store_true",
@@ -89,6 +91,8 @@ def main(argv=None) -> int:
     ref_j = jnp.asarray(ref)
 
     if args.batch > 0:
+        if args.backend == "pallas-fused":
+            raise SystemExit("--batch supports backends xla/pallas only")
         from .sim.loop import init_sim_batch, simulate_batch
 
         keys = jax.vmap(jax.random.PRNGKey)(
@@ -130,7 +134,15 @@ def main(argv=None) -> int:
     logger = MetricsLogger(every=args.metrics_every)
     t0 = time.perf_counter()
     with trace(args.profile_dir):
-        if args.checkpoint_every > 0:
+        if args.backend == "pallas-fused":
+            from .sim.loop import simulate_fused
+            if args.checkpoint_every > 0:
+                raise SystemExit(
+                    "--backend pallas-fused does not support "
+                    "--checkpoint-every (the loop runs as one kernel)")
+            state, rec = simulate_fused(arm, mppi, sim, ref_j, state, steps)
+            jax.block_until_ready(rec.q)
+        elif args.checkpoint_every > 0:
             rec_parts = []
             done_steps = 0
             while done_steps < steps:

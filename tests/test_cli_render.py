@@ -46,3 +46,14 @@ def test_cli_batch_mode(tmp_path):
     summary = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert summary["batch"] == 3 and summary["steps"] == 4
     assert os.path.exists(os.path.join(out, "batch_record.npz"))
+
+
+def test_cli_fused_backend_guards():
+    import pytest
+    from mppi_robotarm_tpu.cli import main
+    with pytest.raises(SystemExit, match="checkpoint-every"):
+        main(["--steps", "4", "--samples", "16", "--horizon", "6",
+              "--backend", "pallas-fused", "--checkpoint-every", "2"])
+    with pytest.raises(SystemExit, match="batch"):
+        main(["--steps", "4", "--samples", "16", "--horizon", "6",
+              "--backend", "pallas-fused", "--batch", "2"])
