@@ -1,0 +1,12 @@
+#!/bin/bash
+# Full on-chip validation battery (takes the chip exclusively; ~15 min warm).
+# If a stage sits silent >8 min at ~3s CPU, kill its PID and rerun — this
+# environment wedges ~1 in 3 process starts (see .claude/skills/verify).
+set -u
+cd "$(dirname "$0")/.."
+echo "=== kernel parity + PRNG + latency sweep ==="
+python tools/tpu_validate.py
+echo "=== batch throughput (config 4) ==="
+python tools/tpu_bench_batch.py 1024 1024 30
+echo "=== headline bench ==="
+python bench.py
