@@ -11,8 +11,9 @@ fuses, per K-tile and entirely VMEM-resident:
     → online-softmax accumulation of η and Σₖ wₖ·εₖ across K-tiles
       (flash-attention-style running-min rescaling, so K can exceed a tile)
 
-Outputs: raw Σwε (T,2) — the caller applies the median filter and warm-start
-shift (tiny, XLA-fused) — plus per-sample costs S (for metrics/viz parity).
+Outputs: Σwε (T,2) — or, with ``fuse_update``, the fully post-processed
+``u_new`` (median filter + control update applied in-kernel) — plus
+per-sample costs S and the (m, η) softmax stats for cross-shard combines.
 
 Grid programs on a TPU core run sequentially, so cross-tile accumulators
 live in VMEM/SMEM scratch that persists across grid steps; the last program
