@@ -7,8 +7,17 @@ explicit :class:`MPPIState`, making quirk Q3 (the in-place aliasing of
 ``u_prev``) explicit: the net reference semantics are
 
     u_new        = u_prev + median_filter(Σₖ wₖ εₖ)
-    return       u_new[0]
     u_prev_next  = shift_left(u_new) with the last row duplicated
+    return       u_prev_next[0]   (= u_new[1] for T ≥ 2)
+
+Note the LAST line: because ``u`` aliases ``self.u_prev``, the in-place
+warm-start shift (control.py:148-149) happens BEFORE ``return u[0]``
+(control.py:152), so the control the reference actually applies to the
+plant each step is the SHIFTED first element — ``u_new[1]``, not
+``u_new[0]``.  Verified empirically against the executed reference
+(tools/make_reference_golden.py; tests/test_golden_reference.py pins the
+multi-step closed loop).  ``SolveResult.u_seq`` stays ``u_new`` because the
+viz re-rollouts (control.py:129-145) run before the shift.
 
 and the waypoint index advances once per solve from the observed state (Q5).
 The path-end condition (reference raises ``IndexError``, control.py:76-78,
@@ -41,8 +50,10 @@ class MPPIState(NamedTuple):
 
 
 class SolveResult(NamedTuple):
-    u0: jnp.ndarray              # (2,) control to apply now (= u_seq[0])
-    u_seq: jnp.ndarray           # (T, 2) updated control sequence
+    u0: jnp.ndarray              # (2,) control to apply now — the SHIFTED
+                                 # first element, = state.u_prev[0] = u_seq[1]
+                                 # for T >= 2 (reference control.py:148-152)
+    u_seq: jnp.ndarray           # (T, 2) updated pre-shift sequence u_new
     state: MPPIState             # next solver state (shifted warm start, new idx)
     path_end: jnp.ndarray        # () bool — reference IndexError condition (Q6)
     costs: jnp.ndarray           # (K,) per-sample total costs S
@@ -131,7 +142,7 @@ def solve(
             next_state = MPPIState(u_prev=shift_warm_start(u_seq),
                                    wp_idx=wp_idx)
             return SolveResult(
-                u0=u_seq[0], u_seq=u_seq, state=next_state,
+                u0=next_state.u_prev[0], u_seq=u_seq, state=next_state,
                 path_end=path_end, costs=s, weights=w, eps=eps)
         w_eps_raw = out.astype(dtype)
     else:
@@ -152,8 +163,8 @@ def solve(
 
     next_state = MPPIState(u_prev=shift_warm_start(u_seq), wp_idx=wp_idx)
     return SolveResult(
-        u0=u_seq[0], u_seq=u_seq, state=next_state, path_end=path_end,
-        costs=s, weights=w, eps=eps,
+        u0=next_state.u_prev[0], u_seq=u_seq, state=next_state,
+        path_end=path_end, costs=s, weights=w, eps=eps,
     )
 
 
@@ -197,8 +208,9 @@ def solve_batched_pallas(
     u_seq = state.u_prev + w_eps
     next_state = MPPIState(u_prev=jax.vmap(shift_warm_start)(u_seq),
                            wp_idx=wp_idx)
-    return SolveResult(u0=u_seq[:, 0], u_seq=u_seq, state=next_state,
-                       path_end=path_end, costs=s, weights=w, eps=eps)
+    return SolveResult(u0=next_state.u_prev[:, 0], u_seq=u_seq,
+                       state=next_state, path_end=path_end, costs=s,
+                       weights=w, eps=eps)
 
 
 @partial(jax.jit, static_argnames=("arm", "cfg"))

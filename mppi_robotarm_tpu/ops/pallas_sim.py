@@ -267,6 +267,18 @@ def _sim_kernel(
                     med = windows[rank]                  # (T,128)
                     u_rows[pl.ds(base, T)] = u_rows[pl.ds(base, T)] + med
 
+                # ---- warm-start shift (control.py:148-149, Q3) ------------
+                # The reference shifts the ALIASED u_prev in place BEFORE
+                # ``return u[0]`` (control.py:152), so the control applied to
+                # the plant is the SHIFTED first element (= u_new[1]).  Shift
+                # first, then feed u_rows[0] to the plant.
+                def shift(t, _):
+                    u_rows[pl.ds(t, 1)] = u_rows[pl.ds(t + 1, 1)]
+                    u_rows[pl.ds(T + t, 1)] = u_rows[pl.ds(T + t + 1, 1)]
+                    return 0
+
+                jax.lax.fori_loop(0, T - 1, shift, 0)
+
                 # ---- plant step (run.py:53-55, Q2) ------------------------
                 u0_1 = u_rows[0, 0]
                 u0_2 = u_rows[T, 0]
@@ -309,14 +321,6 @@ def _sim_kernel(
                 for i, v in enumerate(vals):
                     row = jnp.where(lane_iota == i, v, row)
                 rec_ref[pl.ds(step, 1)] = row
-
-                # ---- warm-start shift (control.py:148-149, Q3) ------------
-                def shift(t, _):
-                    u_rows[pl.ds(t, 1)] = u_rows[pl.ds(t + 1, 1)]
-                    u_rows[pl.ds(T + t, 1)] = u_rows[pl.ds(T + t + 1, 1)]
-                    return 0
-
-                jax.lax.fori_loop(0, T - 1, shift, 0)
 
             @pl.when(path_end)
             def _mark_end():

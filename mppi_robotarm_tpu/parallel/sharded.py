@@ -67,7 +67,9 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
 
     w_eps = median_filter_reflect(w_eps, cfg.filter_window)
     u_seq = u_prev + w_eps
-    return u_seq[0], u_seq, shift_warm_start(u_seq), wp_new, path_end, s_local, w_local
+    # the reference applies the SHIFTED first element (control.py:148-152)
+    u_next = shift_warm_start(u_seq)
+    return u_next[0], u_seq, u_next, wp_new, path_end, s_local, w_local
 
 
 def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
@@ -117,7 +119,9 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
     w_eps = jax.vmap(lambda x: median_filter_reflect(x, cfg.filter_window)
                      )(w_eps_raw)
     u_seq = u_prev + w_eps
-    return (u_seq[:, 0], u_seq, jax.vmap(_shift)(u_seq), wp_new, path_end,
+    # the reference applies the SHIFTED first element (control.py:148-152)
+    u_next = jax.vmap(_shift)(u_seq)
+    return (u_next[:, 0], u_seq, u_next, wp_new, path_end,
             s_local.astype(dtype), w_local)
 
 

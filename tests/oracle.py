@@ -111,7 +111,10 @@ class OracleMPPI:
         """One MPPI solve with injected noise eps (K, T, 2).
 
         Returns (u0, u_seq, S, w).  Mutates u_prev / prev_idx exactly like
-        the reference (net Q3 semantics).
+        the reference (net Q3 semantics).  Because the reference's in-place
+        warm-start shift (control.py:148-149) precedes ``return u[0]``
+        (control.py:152) on the ALIASED array, the returned u0 is the
+        shifted first element — ``u_new[1]`` for T ≥ 2.
         """
         x0 = np.asarray(observed_x, dtype=np.float64)
         self.nearest(x0[0], x0[1], update=True)      # control.py:75
@@ -141,8 +144,10 @@ class OracleMPPI:
             [median_filter(w_eps[:, d], size=self.filter_window,
                            mode="reflect") for d in range(2)], axis=1)
         u_new = u + w_eps                            # control.py:126 (Q3)
+        # shift happens BEFORE the return on the aliased array
+        # (control.py:148-152): the applied control is the shifted [0].
         self.u_prev = np.concatenate([u_new[1:], u_new[-1:]], axis=0)
-        return u_new[0].copy(), u_new.copy(), S, w
+        return self.u_prev[0].copy(), u_new.copy(), S, w
 
 
 def oracle_plant_step(q, dq, u, dt):

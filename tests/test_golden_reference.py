@@ -10,6 +10,12 @@ run.py:14 initial state: the first-step control is
 The same seeded noise tensor (``np.random.multivariate_normal(0, 20I,
 (100, 30))`` as control.py:163 draws it) is injected into both the NumPy
 oracle and the JAX solver; all three must agree.
+
+Note: on the very first solve the uniform warm start makes the pre-shift
+``u_new[0]`` and the post-shift applied control ``u_new[1]`` coincide for
+this noise draw, so this single-step golden cannot distinguish the Q3
+shift-before-return semantics — the multi-step closed-loop replay
+(test_reference_replay.py, bitwise vs the executed reference) pins that.
 """
 
 import numpy as np
