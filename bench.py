@@ -11,6 +11,11 @@ on one CPU core and scales ~linearly in K·T ⇒ ~7.0 s/solve at K=1024,H=50
 (BASELINE.md) ⇒ 0.143 solves/s.  BASELINE.json north-star target: ≥1000.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+By default every backend (pallas-fused whole-loop kernel, per-step fused
+pallas solve, portable XLA scan) is measured and reported on stderr so
+regressions in the fallback paths stay visible; pass ``--first-only`` to
+stop at the first working backend (bounded wall time for quick runs).
 """
 
 import json
@@ -45,8 +50,9 @@ def main() -> None:
     state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
     # Fastest first: the fully-fused closed-loop kernel (whole loop in one
     # kernel invocation), then the per-step fused-solve path, then the
-    # portable XLA scan.  Only the first working backend is compiled so the
-    # bench's wall time stays bounded.
+    # portable XLA scan.
+    first_only = "--first-only" in sys.argv
+
     def run_fused(n):
         return simulate_fused(arm, cfg, sim, ref_path, state0, n)
 
@@ -68,14 +74,17 @@ def main() -> None:
                 jax.block_until_ready(out)
                 times.append(time.perf_counter() - t0)
             results[name] = (steps / min(times), out)
-            break
+            print(f"# backend {name}: {steps / min(times):.1f} solves/s",
+                  file=sys.stderr)
+            if first_only:
+                break
         except Exception as e:  # fall back to the next path
             print(f"backend {name} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
     assert results, "no backend produced a result"
     best_backend = max(results, key=lambda b: results[b][0])
     solves_per_s, out = results[best_backend]
-    print(f"# backend: {best_backend}", file=sys.stderr)
+    print(f"# best backend: {best_backend}", file=sys.stderr)
 
     # Sanity: the run must actually track (guards against a degenerate bench).
     rec = out[1]

@@ -33,6 +33,7 @@ from .sim.loop import (
     simulate,
     simulate_batch,
     simulate_fused,
+    simulate_fused_batch,
     simulate_python,
 )
 from .sim.pathgen import generate_circle_path, save_path_file
@@ -47,7 +48,8 @@ __all__ = [
     "MPPIState", "SolveResult", "VizResult", "init_state", "solve",
     "viz_rollouts",
     "SimRecord", "SimState", "init_sim", "init_sim_batch", "simulate",
-    "simulate_batch", "simulate_fused", "simulate_python",
+    "simulate_batch", "simulate_fused", "simulate_fused_batch",
+    "simulate_python",
     "generate_circle_path",
     "save_path_file",
     "load_ref_path", "synth_circle_path",

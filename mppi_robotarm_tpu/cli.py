@@ -130,6 +130,7 @@ def main(argv=None) -> int:
               file=sys.stderr)
     else:
         state = init_sim(mppi, sim, jax.random.PRNGKey(args.seed))
+    state0 = state                     # kept for --render-step replay
 
     logger = MetricsLogger(every=args.metrics_every)
     t0 = time.perf_counter()
@@ -162,8 +163,12 @@ def main(argv=None) -> int:
             jax.block_until_ready(rec.q)
     wall = time.perf_counter() - t0
 
-    errs = tracking_errors(rec.ee, ref[1:steps + 1, 0:2],
-                           full_path=ref)
+    # clamp the comparison window to the path length: a user-supplied
+    # --ref-path shorter than steps+1 rows must not crash the error calc
+    # after the whole simulation completed
+    usable = min(steps, ref.shape[0] - 1)
+    errs = tracking_errors(np.asarray(rec.ee)[:usable],
+                           ref[1:usable + 1, 0:2], full_path=ref)
     summary = {
         "steps": steps, "K": mppi.num_samples, "T": mppi.horizon,
         "backend": args.backend,
@@ -190,18 +195,27 @@ def main(argv=None) -> int:
             fig2.savefig(os.path.join(args.out_dir, "figure2_controls.png"),
                          dpi=150)
         if args.render_step is not None:
-            from .mppi.solver import MPPIState, solve, viz_rollouts
+            from .mppi.solver import solve, viz_rollouts
             from .utils.plotting import plot_sampled_trajectories
             i = min(args.render_step, steps - 1)
-            obs = jnp.concatenate([rec.q[i], rec.dq[i]])
-            st = MPPIState(
-                u_prev=jnp.tile(jnp.asarray(mppi.warm_start, jnp.float32),
-                                (mppi.horizon, 1)),
-                wp_idx=rec.wp_idx[i].astype(jnp.int32))
-            res = solve(arm, mppi, ref_j, obs, st,
-                        key=jax.random.PRNGKey(args.seed + 1))
-            viz = viz_rollouts(arm, mppi, obs, res.u_seq, st.u_prev, res.eps,
-                               res.costs)
+            # Recover the EXACT solver state entering step i by replaying
+            # the scan from the run's initial state, then re-issue step i's
+            # solve with the key the driver split there — the rendered
+            # rollouts are the ones the recorded run actually used (for the
+            # xla/pallas per-step drivers; the fused whole-loop kernel uses
+            # its own in-kernel PRNG stream, so its render is the per-step
+            # driver's equivalent solve at the same step).
+            rb = args.backend if args.backend in ("xla", "pallas") else "xla"
+            state_i = state0
+            if i > 0:
+                state_i, _ = simulate(arm, mppi, sim, ref_j, state0, i,
+                                      backend=rb)
+            _, sub = jax.random.split(state_i.key)
+            obs = jnp.concatenate([state_i.q, state_i.dq])
+            res = solve(arm, mppi, ref_j, obs, state_i.mppi, key=sub,
+                        backend=rb, want_eps=True)
+            viz = viz_rollouts(arm, mppi, obs, res.u_seq,
+                               state_i.mppi.u_prev, res.eps, res.costs)
             fig = plot_sampled_trajectories(
                 obs[:2], viz.sampled_trajs, viz.optimal_traj, ref,
                 viz.sorted_idx)

@@ -80,7 +80,7 @@ def shift_warm_start(u_seq: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([u_seq[1:], u_seq[-1:]], axis=0)
 
 
-@partial(jax.jit, static_argnames=("arm", "cfg", "backend"))
+@partial(jax.jit, static_argnames=("arm", "cfg", "backend", "want_eps"))
 def solve(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -90,6 +90,7 @@ def solve(
     key: Optional[jax.Array] = None,
     eps: Optional[jnp.ndarray] = None,
     backend: str = "xla",
+    want_eps: bool = False,
 ) -> SolveResult:
     """One MPPI solve — the TPU-native ``calc_control_input`` (control.py:67-152).
 
@@ -100,6 +101,13 @@ def solve(
     ``backend``: 'xla' (portable vmap/scan rollout, any dtype) or 'pallas'
     (the fused single-kernel TPU path, float32, on-chip PRNG in key mode —
     ops/pallas_rollout.py).
+
+    ``want_eps``: in key-mode pallas the (K, T, 2) noise lives only in VMEM;
+    writing it back to HBM costs ~52 MB/solve at K=65536 for a tensor most
+    callers discard.  The production default skips the writeback and returns
+    ``SolveResult.eps = None``; pass ``want_eps=True`` for visualisation
+    re-rollouts.  The xla path and eps-injected mode always return the noise
+    (it is materialised anyway).
     """
     if (key is None) == (eps is None):
         raise ValueError("provide exactly one of key= or eps=")
@@ -125,12 +133,13 @@ def solve(
         # and the u update (Q3), returning u_new directly.
         fuse = cfg.filter_window <= 2 * cfg.horizon
         if eps is None:
-            # hardware PRNG seed derived from the threefry key
+            # hardware PRNG seed derived from the threefry key; the noise
+            # stays VMEM-only unless the caller asked for it (want_eps)
             seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
             out, s, eps = pallas_solve_core(
                 arm, cfg, observed_x, state.u_prev, window, nvalid,
-                seed=seed, fuse_update=fuse)
+                seed=seed, fuse_update=fuse, emit_eps=want_eps)
         else:
             out, s, eps = pallas_solve_core(
                 arm, cfg, observed_x, state.u_prev, window, nvalid,
@@ -198,9 +207,13 @@ def solve_batched_pallas(
     path_end = wp_idx >= ref_path.shape[0] - 1
     nvalid = jnp.sum(valid.astype(jnp.float32), axis=-1)
 
+    # emit_eps=False: the (B, K, T, 2) noise tensor is never consumed by the
+    # batched closed loop — skip the HBM writeback (~250 MB/step at
+    # B=1024, K=1024, T=30)
     w_eps_raw, s, eps, _ = pallas_solve_batched(
         arm, cfg, observed_x.astype(jnp.float32),
-        state.u_prev.astype(jnp.float32), window, nvalid, seed=seeds)
+        state.u_prev.astype(jnp.float32), window, nvalid, seed=seeds,
+        emit_eps=False)
     s = s.astype(dtype)
     w = jax.vmap(lambda si: mppi_weights(si, cfg.lam))(s)
     w_eps = jax.vmap(lambda we: median_filter_reflect(we, cfg.filter_window)

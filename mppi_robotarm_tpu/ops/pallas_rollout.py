@@ -142,8 +142,11 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
 
 def _solve_kernel(
     # scalar-prefetch / SMEM inputs
-    scalars_ref,     # SMEM (1,12): [q1,q2,dq1,dq2, seed, nvalid, k_thresh,
-                     #               k_local_real, k_offset, pad, pad, pad]
+    scalars_ref,     # SMEM (1,8): [q1,q2,dq1,dq2, nvalid, k_thresh,
+                     #              k_local_real, k_offset]
+    seed_ref,        # SMEM (1,1) int32 PRNG seed — a dedicated integer
+                     # operand so the full 2^31 seed space survives (a
+                     # float32 round-trip would clamp it to ~2^24)
     u_ref,           # SMEM (T, 2) nominal controls
     su_ref,          # SMEM (T, 2) Σ⁻¹·u[t]
     chol_ref,        # SMEM (3,)  [L11, L21, L22]
@@ -182,14 +185,14 @@ def _solve_kernel(
     q2_0 = scalars_ref[0, 1]
     dq1_0 = scalars_ref[0, 2]
     dq2_0 = scalars_ref[0, 3]
-    nvalid = scalars_ref[0, 5]
-    k_thresh = scalars_ref[0, 6]     # global exploitation cutoff (Q9)
-    k_actual = scalars_ref[0, 7]     # real local K (< padded K if K%128 != 0)
-    k_offset = scalars_ref[0, 8]     # global index of this shard's sample 0
+    nvalid = scalars_ref[0, 4]
+    k_thresh = scalars_ref[0, 5]     # global exploitation cutoff (Q9)
+    k_actual = scalars_ref[0, 6]     # real local K (< padded K if K%128 != 0)
+    k_offset = scalars_ref[0, 7]     # global index of this shard's sample 0
 
     # ---- noise for this tile --------------------------------------------
     if use_prng:
-        pltpu.prng_seed(scalars_ref[0, 4].astype(jnp.int32), p_id)
+        pltpu.prng_seed(seed_ref[0, 0], p_id)
         l11 = chol_ref[0]
         l21 = chol_ref[1]
         l22 = chol_ref[2]
@@ -382,17 +385,17 @@ def pallas_solve_batched(
     k_actual = jnp.full((B, 1), float(K), jnp.float32)
     k_off = (jnp.zeros((B, 1), jnp.float32) if k_offset is None
              else k_offset.astype(jnp.float32).reshape(B, 1))
-    seed_v = (seed.astype(jnp.float32)[:, None] if seed is not None
-              else jnp.zeros((B, 1), jnp.float32))
+    # seed travels as a dedicated int32 operand — never through float32
+    # (a float32 round-trip collapses the 2^31 seed space to ~2^24)
+    seeds = (seed.astype(jnp.int32).reshape(B, 1, 1) if seed is not None
+             else jnp.zeros((B, 1, 1), jnp.int32))
     scalars = jnp.concatenate([
         x0,
-        seed_v,
         nvalid.astype(jnp.float32)[:, None],
         k_thresh,
         k_actual,
         k_off,
-        jnp.zeros((B, 3), jnp.float32),
-    ], axis=1)[:, None, :]                           # (B, 1, 12)
+    ], axis=1)[:, None, :]                           # (B, 1, 8)
 
     if use_prng:
         # dummy 1-element noise input (ignored by the kernel)
@@ -423,8 +426,10 @@ def pallas_solve_batched(
         kernel,
         grid=(B, n_tiles),
         in_specs=[
-            pl.BlockSpec((None, 1, 12), lambda b, p: (b, 0, 0),
+            pl.BlockSpec((None, 1, 8), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # scalars
+            pl.BlockSpec((None, 1, 1), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # seed i32
             pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # u
             pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
@@ -458,7 +463,8 @@ def pallas_solve_batched(
             pltpu.SMEM((2,), jnp.float32),                          # m, eta
         ],
         interpret=interpret,
-    )(scalars, u, su, chol_flat, window.astype(jnp.float32), eps_tiled)
+    )(scalars, seeds, u, su, chol_flat, window.astype(jnp.float32),
+      eps_tiled)
 
     s_flat = s_out.reshape(B, Kpad)[:, :K]
     # rows are dim-major: (B, 2, T) -> (B, T, 2).  With fuse_update the rows

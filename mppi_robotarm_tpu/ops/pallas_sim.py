@@ -19,10 +19,16 @@ The control sequence lives as lane-duplicated VMEM rows (dim-major, row
 c·T+t) so the rollout consumes it as (1,128) broadcast operands — no
 scalar extraction on the hot path.
 
-Scope: single scenario, single K-tile (K ≤ one tile after padding); the
-step loop cannot interleave with a sequential multi-tile grid because every
-step needs all tiles' softmax contributions.  Larger K uses the per-step
-kernel (ops/pallas_rollout.py).
+Scope: one K-tile per scenario (K ≤ one tile after padding); the step loop
+cannot interleave with a sequential multi-tile grid because every step needs
+all tiles' softmax contributions.  Larger K uses the per-step kernel
+(ops/pallas_rollout.py).
+
+Batching: the kernel takes a grid over SCENARIOS — program b runs scenario
+b's ENTIRE closed loop with per-scenario SMEM/VMEM blocks (state, warm
+start, records), so a B-scenario fleet (BASELINE config 4) executes with
+zero per-step XLA glue: one kernel launch for the whole B × n_steps run.
+The single-scenario entry point is the B = 1 case of the same kernel.
 """
 
 from __future__ import annotations
@@ -47,22 +53,27 @@ from .pallas_rollout import (
 from .noise import sigma_inverse
 
 # record-row lane assignment
-_REC_LANES = 10  # [q1,q2,dq1,dq2,u1,u2,wp_idx,done,cost_min,cost_mean]
+_REC_LANES = 12  # [q1,q2,dq1,dq2,u1,u2,wp_idx,done,cost_min,cost_mean,
+                 #  ess,weight_entropy]
 
 
 def _sim_kernel(
-    scalars_ref,   # SMEM (8,): [q1,q2,dq1,dq2, seed, wp_idx0, n_ref, k_actual]
-    chol_ref,      # SMEM (3,): [L11, L21, L22]
-    sinv_ref,      # SMEM (4,): Σ⁻¹ row-major
+    scalars_ref,   # SMEM (1,7): [q1,q2,dq1,dq2, wp_idx0, n_ref, k_actual]
+                   # — this scenario's block of the (B,1,7) array
+    seed_ref,      # SMEM (1,1) int32 PRNG seed (dedicated integer operand so
+                   # the full 2^31 seed space survives; float32 would clamp
+                   # it to ~2^24)
+    chol_ref,      # SMEM (3,): [L11, L21, L22] (shared across scenarios)
+    sinv_ref,      # SMEM (4,): Σ⁻¹ row-major (shared)
     u0_ref,        # VMEM (2T, 128) initial warm start, dim-major lane-dup rows
-    ref_ref,       # VMEM (Npad, 4) reference path
+    ref_ref,       # VMEM (Npad, 4) reference path (shared)
     eps_in_ref,    # VMEM (N*2T, sub, 128) injected noise or (1,1,128) dummy
     rec_ref,       # VMEM (N, 128) per-step records (lanes per _REC_LANES)
     ufin_ref,      # VMEM (2T, 128) final warm-started control rows
     u_rows,        # VMEM (2T, 128) scratch: current control rows (dim-major)
     eps_buf,       # VMEM (2T, sub, 128) scratch
     pad_buf,       # VMEM (T + fw - 1, 128) scratch: reflect-padded Σwε rows
-    win_ref,       # SMEM (32, 4) scratch: current waypoint window
+    win_ref,       # SMEM (W, 4) scratch: current waypoint window
     st_ref,        # SMEM (8,) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f), -, -]
     *,
     arm: ArmParams,
@@ -82,14 +93,14 @@ def _sim_kernel(
     stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
     term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
     dist = (jnp.float32(sim.disturbance[0]), jnp.float32(sim.disturbance[1]))
-    n_ref = scalars_ref[6]
-    k_actual = scalars_ref[7]
+    n_ref = scalars_ref[0, 5]
+    k_actual = scalars_ref[0, 6]
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
 
-    # init scratch state
+    # init scratch state (runs per grid program, i.e. per scenario)
     for i in range(4):
-        st_ref[i] = scalars_ref[i]
-    st_ref[4] = scalars_ref[5]          # wp_idx as f32
+        st_ref[i] = scalars_ref[0, i]
+    st_ref[4] = scalars_ref[0, 4]       # wp_idx as f32
     st_ref[5] = jnp.float32(0.0)        # done flag
     u_rows[...] = u0_ref[...]
 
@@ -137,8 +148,11 @@ def _sim_kernel(
             _, off = jax.lax.fori_loop(0, W, am,
                                        (jnp.float32(np.inf), jnp.int32(0)))
             widx = widx + off
-            st_ref[4] = widx.astype(jnp.float32)
             path_end = widx >= n_ref.astype(jnp.int32) - 1
+            # freeze semantics match sim_step: once path_end fires, wp_idx
+            # keeps its pre-advance value (the scan driver's `keep`)
+            st_ref[4] = jnp.where(path_end, st_ref[4],
+                                  widx.astype(jnp.float32))
             st_ref[5] = jnp.where(path_end, jnp.float32(1.0), jnp.float32(0.0))
 
             @pl.when(jnp.logical_not(path_end))
@@ -150,7 +164,7 @@ def _sim_kernel(
 
                 # ---- noise ------------------------------------------------
                 if use_prng:
-                    pltpu.prng_seed(scalars_ref[4].astype(jnp.int32), step)
+                    pltpu.prng_seed(seed_ref[0, 0], step)
                     l11 = chol_ref[0]
                     l21 = chol_ref[1]
                     l22 = chol_ref[2]
@@ -220,6 +234,14 @@ def _sim_kernel(
                 cost_mean = (jnp.sum(jnp.where(k_idx < k_actual, s, 0.0))
                              / k_actual)
                 inv_eta = 1.0 / eta
+                # solver-health metrics (SURVEY.md §5.5): ESS = η²/Σe² and
+                # weight entropy H = ln η + Σ e·(S−m) / (η·λ); padded
+                # samples carry e = 0 but S = +inf, so mask the product
+                ess = (eta * eta) / jnp.sum(e * e)
+                ent = (jnp.log(eta)
+                       + jnp.sum(jnp.where(k_idx < k_actual,
+                                           e * (s - m), 0.0))
+                       * inv_eta / lam)
 
                 fw = cfg.filter_window
                 left = fw // 2
@@ -316,7 +338,7 @@ def _sim_kernel(
                 # ---- record row -------------------------------------------
                 vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
                         u0_1, u0_2, widx.astype(jnp.float32),
-                        jnp.float32(0.0), cost_min, cost_mean)
+                        jnp.float32(0.0), cost_min, cost_mean, ess, ent)
                 row = jnp.zeros((1, _LANES), jnp.float32)
                 for i, v in enumerate(vals):
                     row = jnp.where(lane_iota == i, v, row)
@@ -324,21 +346,139 @@ def _sim_kernel(
 
             @pl.when(path_end)
             def _mark_end():
-                row = jnp.where(lane_iota == 6, widx.astype(jnp.float32),
-                                jnp.zeros((1, _LANES), jnp.float32))
-                row = jnp.where(lane_iota == 7, 1.0, row)
+                # record the FROZEN state (matches simulate()'s keep
+                # semantics); u/cost lanes are zero after path end
+                vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                        jnp.float32(0.0), jnp.float32(0.0), st_ref[4],
+                        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
+                row = jnp.zeros((1, _LANES), jnp.float32)
+                for i, v in enumerate(vals):
+                    row = jnp.where(lane_iota == i, v, row)
                 rec_ref[pl.ds(step, 1)] = row
 
         @pl.when(done)
         def _frozen():
-            row = jnp.where(lane_iota == 7, 1.0,
-                            jnp.zeros((1, _LANES), jnp.float32))
+            vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                    jnp.float32(0.0), jnp.float32(0.0), st_ref[4],
+                    jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
+            row = jnp.zeros((1, _LANES), jnp.float32)
+            for i, v in enumerate(vals):
+                row = jnp.where(lane_iota == i, v, row)
             rec_ref[pl.ds(step, 1)] = row
 
         return 0
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
     ufin_ref[...] = u_rows[...]
+
+
+def pallas_sim_run_batched(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,       # (N, 4)
+    q0: jnp.ndarray,             # (B, 2)
+    dq0: jnp.ndarray,            # (B, 2)
+    u_prev: jnp.ndarray,         # (B, T, 2)
+    wp_idx,                      # (B,) int
+    seed,                        # (B,) int32
+    n_steps: int,
+    eps: Optional[jnp.ndarray] = None,  # (B, n_steps, K, T, 2) injected
+    interpret: bool = False,
+):
+    """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
+
+    Grid (B,): program b executes scenario b's entire receding-horizon loop
+    (BASELINE config 4 with zero per-step XLA glue).  Grid programs run
+    sequentially on the core, so total work is B × the single-scenario
+    kernel, but the per-step dispatch/glue (~45 µs/step measured via
+    tools/tpu_bench_batch.py round 1) is gone entirely.
+
+    Returns (records (B, n_steps, _REC_LANES) f32, u_final (B, T, 2)).
+    """
+    K, T = cfg.num_samples, cfg.horizon
+    B = q0.shape[0]
+    tile = _pick_tile(-(-K // _LANES) * _LANES, T)
+    if tile < -(-K // _LANES) * _LANES:
+        raise ValueError(
+            f"fused sim requires K (= {K}) to fit one kernel tile")
+    sub = tile // _LANES
+    use_prng = eps is None
+
+    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
+    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
+    sinv = jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).reshape(4)
+    scalars = jnp.stack([
+        q0[:, 0].astype(jnp.float32), q0[:, 1].astype(jnp.float32),
+        dq0[:, 0].astype(jnp.float32), dq0[:, 1].astype(jnp.float32),
+        jnp.asarray(wp_idx, jnp.float32).reshape(B),
+        jnp.full((B,), jnp.float32(ref_path.shape[0])),
+        jnp.full((B,), jnp.float32(K)),
+    ], axis=1)[:, None, :]                               # (B, 1, 7)
+    seed_i32 = jnp.asarray(seed, jnp.int32).reshape(B, 1, 1)
+    # dim-major lane-duplicated control rows, per scenario
+    u0_rows = jnp.broadcast_to(
+        u_prev.astype(jnp.float32).transpose(0, 2, 1).reshape(B, 2 * T, 1),
+        (B, 2 * T, _LANES))
+
+    if use_prng:
+        eps_in = jnp.zeros((B, 1, 1, _LANES), jnp.float32)
+        eps_block = (None, 1, 1, _LANES)
+    else:
+        e = eps.astype(jnp.float32)
+        if e.shape[2] != tile:
+            e = jnp.concatenate(
+                [e, jnp.zeros((B, n_steps, tile - e.shape[2], T, 2),
+                              jnp.float32)], axis=2)
+        eps_in = (e.reshape(B, n_steps, sub, _LANES, T, 2)
+                  .transpose(0, 1, 4, 5, 2, 3)
+                  .reshape(B, n_steps * 2 * T, sub, _LANES))
+        eps_block = (None, n_steps * 2 * T, sub, _LANES)
+
+    kernel = functools.partial(
+        _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
+        use_prng=use_prng)
+
+    rec, ufin = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, 1, 7), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # scalars f32
+            pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # seed i32
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # chol (shared)
+            pl.BlockSpec(memory_space=pltpu.SMEM),       # sigma^-1 (shared)
+            pl.BlockSpec((None, 2 * T, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),       # warm start
+            pl.BlockSpec(memory_space=pltpu.VMEM),       # ref path (shared)
+            pl.BlockSpec(eps_block, lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),       # injected noise
+        ],
+        out_specs=[
+            pl.BlockSpec((None, n_steps, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 2 * T, _LANES), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, n_steps, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2 * T, _LANES), jnp.float32),       # u_rows
+            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),  # eps_buf
+            pltpu.VMEM((T + cfg.filter_window - 1, _LANES),
+                       jnp.float32),                        # pad_buf
+            pltpu.SMEM((cfg.search_idx_len, 4), jnp.float32),  # window
+            pltpu.SMEM((8,), jnp.float32),                  # state
+        ],
+        interpret=interpret,
+    )(scalars, seed_i32, chol_flat, sinv, u0_rows,
+      ref_path.astype(jnp.float32), eps_in)
+
+    u_final = ufin[:, :, 0].reshape(B, 2, T).transpose(0, 2, 1)
+    return rec[:, :, :_REC_LANES], u_final
 
 
 def pallas_sim_run(
@@ -355,78 +495,17 @@ def pallas_sim_run(
     eps: Optional[jnp.ndarray] = None,   # (n_steps, K, T, 2) injected
     interpret: bool = False,
 ):
-    """Run n_steps of the closed loop in one kernel invocation.
+    """Run n_steps of the closed loop in one kernel invocation (B=1 shim
+    over :func:`pallas_sim_run_batched`).
 
-    Returns (records (n_steps, 10) f32 — lanes per _REC_LANES, u_final (T,2)).
+    Returns (records (n_steps, 12) f32 — lanes per _REC_LANES, u_final (T,2)).
     """
-    K, T = cfg.num_samples, cfg.horizon
-    tile = _pick_tile(-(-K // _LANES) * _LANES, T)
-    if tile < -(-K // _LANES) * _LANES:
-        raise ValueError(
-            f"fused sim requires K (= {K}) to fit one kernel tile")
-    sub = tile // _LANES
-    use_prng = eps is None
-
-    chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
-    chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
-    sinv = jnp.asarray(sigma_inverse(cfg.sigma), jnp.float32).reshape(4)
-    scalars = jnp.stack([
-        q0[0].astype(jnp.float32), q0[1].astype(jnp.float32),
-        dq0[0].astype(jnp.float32), dq0[1].astype(jnp.float32),
-        jnp.asarray(seed, jnp.float32),
-        jnp.asarray(wp_idx, jnp.float32),
-        jnp.float32(ref_path.shape[0]),
-        jnp.float32(K),
-    ])
-    # dim-major lane-duplicated control rows
-    u0_rows = jnp.broadcast_to(
-        u_prev.astype(jnp.float32).T.reshape(2 * T, 1), (2 * T, _LANES))
-
-    if use_prng:
-        eps_in = jnp.zeros((1, 1, _LANES), jnp.float32)
-    else:
-        e = eps.astype(jnp.float32)
-        if e.shape[1] != tile:
-            e = jnp.concatenate(
-                [e, jnp.zeros((n_steps, tile - e.shape[1], T, 2),
-                              jnp.float32)], axis=1)
-        eps_in = (e.reshape(n_steps, sub, _LANES, T, 2)
-                  .transpose(0, 3, 4, 1, 2)
-                  .reshape(n_steps * 2 * T, sub, _LANES))
-
-    kernel = functools.partial(
-        _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
-        use_prng=use_prng)
-
-    rec, ufin = pl.pallas_call(
-        kernel,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_steps, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((2 * T, _LANES), jnp.float32),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2 * T, _LANES), jnp.float32),       # u_rows
-            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),  # eps_buf
-            pltpu.VMEM((T + cfg.filter_window - 1, _LANES),
-                       jnp.float32),                        # pad_buf
-            pltpu.SMEM((32, 4), jnp.float32),               # window
-            pltpu.SMEM((8,), jnp.float32),                  # state
-        ],
-        interpret=interpret,
-    )(scalars, chol_flat, sinv, u0_rows, ref_path.astype(jnp.float32),
-      eps_in)
-
-    u_final = ufin[:, 0].reshape(2, T).T
-    return rec[:, :_REC_LANES], u_final
+    rec, ufin = pallas_sim_run_batched(
+        arm, cfg, sim, ref_path,
+        jnp.asarray(q0)[None], jnp.asarray(dq0)[None],
+        jnp.asarray(u_prev)[None],
+        jnp.asarray(wp_idx).reshape(1), jnp.asarray(seed).reshape(1),
+        n_steps,
+        eps=None if eps is None else jnp.asarray(eps)[None],
+        interpret=interpret)
+    return rec[0], ufin[0]

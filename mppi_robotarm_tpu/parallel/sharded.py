@@ -73,10 +73,14 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
 
 
 def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
-                        u_prev, wp_idx, eps_local, interpret=False):
+                        u_prev, wp_idx, eps_local=None, seeds=None,
+                        k_local=None, interpret=False):
     """Per-device scenario-batch solve through the fused kernel.
 
-    ``eps_local``: (B_local, K_local, T, 2).  The kernel returns the
+    Noise: either injected ``eps_local`` (B_local, K_local, T, 2) — the
+    parity seam, CPU-testable in interpret mode — or per-scenario int32
+    ``seeds`` + ``k_local`` for in-kernel hardware-PRNG generation (the
+    production path; zero noise HBM traffic).  The kernel returns the
     shard-local Σe·ε wrt the local running min plus (m, η) stats; the
     cross-shard combine is the two-level online softmax:
 
@@ -88,7 +92,10 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
     from ..mppi.solver import shift_warm_start as _shift
     from ..ops.pallas_rollout import pallas_solve_batched
 
-    b_loc, k_loc = eps_local.shape[0], eps_local.shape[1]
+    if (eps_local is None) == (seeds is None):
+        raise ValueError("provide exactly one of eps_local= or seeds=")
+    b_loc = observed.shape[0]
+    k_loc = eps_local.shape[1] if eps_local is not None else k_local
     dtype = u_prev.dtype
 
     def _wp(wi, obs):
@@ -104,8 +111,9 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
 
     a_local, s_local, _, (m_loc, eta_loc) = pallas_solve_batched(
         arm, cfg, observed.astype(jnp.float32), u_prev.astype(jnp.float32),
-        window, nvalid, eps=eps_local, normalize=False, k_offset=k_offset,
-        emit_eps=False, interpret=interpret)
+        window, nvalid, eps=eps_local, seed=seeds, k_local=k_loc,
+        normalize=False, k_offset=k_offset, emit_eps=False,
+        interpret=interpret)
 
     lam = jnp.asarray(cfg.lam, jnp.float32)
     m = lax.pmin(m_loc, SAMPLES_AXIS)                      # (B_local,)
@@ -125,6 +133,18 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
             s_local.astype(dtype), w_local)
 
 
+def _check_samples_divisible(cfg: MPPIConfig, mesh: Mesh) -> None:
+    """K must divide evenly over the 'samples' axis — a silent floor-division
+    would drop samples and change the solver's semantics (round-1 W3)."""
+    n = mesh.shape[SAMPLES_AXIS]
+    if cfg.num_samples % n:
+        raise ValueError(
+            f"num_samples={cfg.num_samples} is not divisible by the "
+            f"'{SAMPLES_AXIS}' mesh axis size {n}; choose K as a multiple "
+            f"of the samples-axis size (dropped samples would silently "
+            f"change the softmax/weighted-noise semantics)")
+
+
 def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
                        backend: str = "xla", interpret: bool = False):
     """Build a jitted sharded solve over a batch of scenarios.
@@ -140,6 +160,7 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
     ``backend='pallas'`` runs the fused kernel per shard with the two-level
     online-softmax cross-shard combine (``interpret=True`` for CPU tests).
     """
+    _check_samples_divisible(cfg, mesh)
     if backend == "pallas":
         def _per_device(ref_path, observed, u_prev, wp_idx, eps):
             return _solve_local_pallas(arm, cfg, ref_path, observed, u_prev,
@@ -164,7 +185,8 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
 
 
 def make_sharded_sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
-                          mesh: Mesh):
+                          mesh: Mesh, backend: str = "xla",
+                          noise: str = "prng", interpret: bool = False):
     """One sharded closed-loop step over B scenarios: solve + plant + freeze.
 
     This is the multi-chip 'training step' equivalent: scenarios sharded over
@@ -172,33 +194,82 @@ def make_sharded_sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
     from per-scenario keys.  Returns a jitted function
         f(ref_path, q (B,2), dq (B,2), u_prev (B,T,2), wp_idx (B,),
           keys (B,2) uint32) -> (q', dq', u_prev', wp_idx', done (B,), u0 (B,2))
-    """
-    chol = sigma_cholesky(cfg.sigma)
 
-    def _per_device(ref_path, q, dq, u_prev, wp_idx, keys):
-        def one(qi, dqi, ui, wi, ki):
-            # Fold the sample-shard index into the key so every shard draws
-            # its own slice of the global (K, T, 2) noise tensor.
+    ``backend='pallas'`` routes each shard's K×T sweep through the fused
+    kernel (grid B_local × K-tiles) with the two-level online-softmax
+    cross-shard combine — the production multi-chip path.  Its ``noise``:
+      * 'prng' (default) — in-kernel hardware PRNG from per-scenario int32
+        seeds derived via threefry fold-in; zero noise HBM traffic.  TPU only.
+      * 'threefry' — the XLA path's exact `sample_epsilon` stream injected
+        into the kernel; bit-comparable to backend='xla' and CPU-testable
+        (``interpret=True``), since the CPU interpreter stubs the hardware
+        PRNG.
+    """
+    _check_samples_divisible(cfg, mesh)
+    chol = sigma_cholesky(cfg.sigma)
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown backend {backend!r}")
+    if noise not in ("prng", "threefry"):
+        raise ValueError(f"unknown noise mode {noise!r}")
+
+    def _plant(qi, dqi, u0):
+        d = jnp.asarray(sim.disturbance, dtype=qi.dtype)
+        ddq1, ddq2 = arm_ddq(qi[0], qi[1], dqi[0], dqi[1],
+                             u0[0] + d[0], u0[1] + d[1], arm)
+        dq_new = dqi + sim.dt * jnp.stack([ddq1, ddq2])
+        return qi + sim.dt * dq_new, dq_new
+
+    if backend == "pallas":
+        def _per_device(ref_path, q, dq, u_prev, wp_idx, keys):
             shard = lax.axis_index(SAMPLES_AXIS)
-            key = jax.random.fold_in(jax.random.wrap_key_data(ki), shard)
             n_shards = lax.axis_size(SAMPLES_AXIS)
             k_local = cfg.num_samples // n_shards
-            eps = sample_epsilon(key, k_local, cfg.horizon, chol, ui.dtype)
+            # Fold the sample-shard index into the key so every shard draws
+            # its own slice of the global (K, T, 2) noise tensor.
+            folded = jax.vmap(lambda ki: jax.random.fold_in(
+                jax.random.wrap_key_data(ki), shard))(keys)
+            observed = jnp.concatenate([q, dq], axis=-1)
+            if noise == "threefry":
+                eps = jax.vmap(lambda k: sample_epsilon(
+                    k, k_local, cfg.horizon, chol, u_prev.dtype))(folded)
+                u0, _, u_next, wp_new, path_end, _, _ = _solve_local_pallas(
+                    arm, cfg, ref_path, observed, u_prev, wp_idx,
+                    eps_local=eps, interpret=interpret)
+            else:
+                seeds = jax.vmap(lambda k: jax.random.randint(
+                    k, (), 0, jnp.iinfo(jnp.int32).max,
+                    dtype=jnp.int32))(folded)
+                u0, _, u_next, wp_new, path_end, _, _ = _solve_local_pallas(
+                    arm, cfg, ref_path, observed, u_prev, wp_idx,
+                    seeds=seeds, k_local=k_local, interpret=interpret)
+            u0 = u0.astype(q.dtype)
+            u_next = u_next.astype(u_prev.dtype)
+            q_new, dq_new = jax.vmap(_plant)(q, dq, u0)
+            pe = path_end
+            keep = lambda new, old: jnp.where(
+                pe.reshape(pe.shape + (1,) * (new.ndim - 1)), old, new)
+            return (keep(q_new, q), keep(dq_new, dq), keep(u_next, u_prev),
+                    jnp.where(pe, wp_idx, wp_new), pe, u0)
+    else:
+        def _per_device(ref_path, q, dq, u_prev, wp_idx, keys):
+            def one(qi, dqi, ui, wi, ki):
+                shard = lax.axis_index(SAMPLES_AXIS)
+                key = jax.random.fold_in(jax.random.wrap_key_data(ki), shard)
+                n_shards = lax.axis_size(SAMPLES_AXIS)
+                k_local = cfg.num_samples // n_shards
+                eps = sample_epsilon(key, k_local, cfg.horizon, chol,
+                                     ui.dtype)
 
-            observed = jnp.concatenate([qi, dqi])
-            u0, _, u_next, wp_new, path_end, _, _ = _solve_local(
-                arm, cfg, ref_path, observed, ui, wi, eps)
+                observed = jnp.concatenate([qi, dqi])
+                u0, _, u_next, wp_new, path_end, _, _ = _solve_local(
+                    arm, cfg, ref_path, observed, ui, wi, eps)
 
-            d = jnp.asarray(sim.disturbance, dtype=qi.dtype)
-            ddq1, ddq2 = arm_ddq(qi[0], qi[1], dqi[0], dqi[1],
-                                 u0[0] + d[0], u0[1] + d[1], arm)
-            dq_new = dqi + sim.dt * jnp.stack([ddq1, ddq2])
-            q_new = qi + sim.dt * dq_new
-            keep = lambda new, old: jnp.where(path_end, old, new)
-            return (keep(q_new, qi), keep(dq_new, dqi), keep(u_next, ui),
-                    keep(wp_new, wi), path_end, u0)
+                q_new, dq_new = _plant(qi, dqi, u0)
+                keep = lambda new, old: jnp.where(path_end, old, new)
+                return (keep(q_new, qi), keep(dq_new, dqi),
+                        keep(u_next, ui), keep(wp_new, wi), path_end, u0)
 
-        return jax.vmap(one)(q, dq, u_prev, wp_idx, keys)
+            return jax.vmap(one)(q, dq, u_prev, wp_idx, keys)
 
     fn = shard_map(
         _per_device,

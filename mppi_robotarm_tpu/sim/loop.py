@@ -28,6 +28,7 @@ from jax import lax
 from ..config import ArmParams, MPPIConfig, SimConfig
 from ..models.arm import arm_ddq, fk_full
 from ..mppi.solver import MPPIState, init_state, solve
+from ..ops.weights import effective_sample_size, weight_entropy
 
 
 class SimState(NamedTuple):
@@ -53,6 +54,8 @@ class SimRecord(NamedTuple):
     wp_idx: jnp.ndarray          # (steps,)
     cost_min: jnp.ndarray        # (steps,)     solver-health metrics (§5.5)
     cost_mean: jnp.ndarray       # (steps,)
+    ess: jnp.ndarray             # (steps,)     effective sample size of w
+    weight_entropy: jnp.ndarray  # (steps,)     Shannon entropy of w
     done: jnp.ndarray            # (steps,) bool
 
 
@@ -136,12 +139,20 @@ def simulate(
         ref_row = lax.dynamic_slice_in_dim(
             ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
         )[0]
+        # after path end the record carries the frozen state with u/cost
+        # lanes zeroed — identical semantics to the fused kernel's
+        # _mark_end/_frozen rows (ops/pallas_sim.py)
+        dn = next_state.done
+        zero = lambda v: jnp.where(dn, jnp.zeros_like(v), v)
         rec = SimRecord(
-            q=next_state.q, dq=next_state.dq, u=res.u0,
+            q=next_state.q, dq=next_state.dq, u=zero(res.u0),
             ee=jnp.stack([x2, y2]), elbow=jnp.stack([x1, y1]),
             ref_xy=ref_row[0:2], wp_idx=next_state.mppi.wp_idx,
-            cost_min=jnp.min(res.costs), cost_mean=jnp.mean(res.costs),
-            done=next_state.done,
+            cost_min=zero(jnp.min(res.costs)),
+            cost_mean=zero(jnp.mean(res.costs)),
+            ess=zero(effective_sample_size(res.weights)),
+            weight_entropy=zero(weight_entropy(res.weights)),
+            done=dn,
         )
         return next_state, rec
 
@@ -196,12 +207,17 @@ def simulate_batch(
         ref_row = lax.dynamic_slice_in_dim(
             ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
         )[0]
+        dn = next_state.done
+        zero = lambda v: jnp.where(dn, jnp.zeros_like(v), v)
         return SimRecord(
-            q=next_state.q, dq=next_state.dq, u=res.u0,
+            q=next_state.q, dq=next_state.dq, u=zero(res.u0),
             ee=jnp.stack([x2, y2]), elbow=jnp.stack([x1, y1]),
             ref_xy=ref_row[0:2], wp_idx=next_state.mppi.wp_idx,
-            cost_min=jnp.min(res.costs), cost_mean=jnp.mean(res.costs),
-            done=next_state.done,
+            cost_min=zero(jnp.min(res.costs)),
+            cost_mean=zero(jnp.mean(res.costs)),
+            ess=zero(effective_sample_size(res.weights)),
+            weight_entropy=zero(weight_entropy(res.weights)),
+            done=dn,
         )
 
     if backend == "pallas":
@@ -243,15 +259,20 @@ def simulate_batch(
                 ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1),
                 1, 0)[0]
             b = next_states.q.shape[0]
+            dn = next_states.done
             recs = SimRecord(
-                q=next_states.q, dq=next_states.dq, u=res.u0,
+                q=next_states.q, dq=next_states.dq,
+                u=jnp.where(dn[:, None], 0.0, res.u0),
                 ee=jnp.stack([x2, y2], axis=-1),
                 elbow=jnp.stack([x1, y1], axis=-1),
                 ref_xy=jnp.broadcast_to(ref_row[0:2], (b, 2)),
                 wp_idx=next_states.mppi.wp_idx,
-                cost_min=jnp.min(res.costs, axis=-1),
-                cost_mean=jnp.mean(res.costs, axis=-1),
-                done=next_states.done,
+                cost_min=jnp.where(dn, 0.0, jnp.min(res.costs, axis=-1)),
+                cost_mean=jnp.where(dn, 0.0, jnp.mean(res.costs, axis=-1)),
+                ess=jnp.where(dn, 0.0, effective_sample_size(res.weights)),
+                weight_entropy=jnp.where(dn, 0.0,
+                                         weight_entropy(res.weights)),
+                done=dn,
             )
             return next_states, recs
 
@@ -315,6 +336,7 @@ def simulate_fused(
         ref_xy=ref_path[idx, 0:2],
         wp_idx=rec_rows[:, 6].astype(jnp.int32),
         cost_min=rec_rows[:, 8], cost_mean=rec_rows[:, 9],
+        ess=rec_rows[:, 10], weight_entropy=rec_rows[:, 11],
         done=rec_rows[:, 7] > 0.5,
     )
     done = rec.done[-1]
@@ -323,6 +345,64 @@ def simulate_fused(
         q=q[-1], dq=dq[-1],
         mppi=MPPIState(u_prev=u_fin, wp_idx=rec.wp_idx[-1]),
         key=key, done=done,
+    )
+    return final, rec
+
+
+@partial(jax.jit,
+         static_argnames=("arm", "cfg", "sim", "num_steps"))
+def simulate_fused_batch(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,
+    states0: SimState,           # batched (init_sim_batch)
+    num_steps: int,
+    eps_per_step=None,           # optional (B, num_steps, K, T, 2)
+):
+    """B scenarios × the WHOLE closed loop in ONE kernel launch.
+
+    The scenario fleet (BASELINE config 4) with zero per-step XLA glue:
+    ops/pallas_sim.py runs a grid over scenarios, each program executing its
+    scenario's full receding-horizon loop.  Record/return conventions match
+    :func:`simulate_batch` (leading step axis, then batch).
+    """
+    from ..ops.pallas_sim import pallas_sim_run_batched
+    from ..models.arm import fk_full as _fkf
+
+    keys = states0.key
+    kd = (jax.random.key_data(keys)
+          if jnp.issubdtype(getattr(keys, "dtype", None), jax.dtypes.prng_key)
+          else keys)
+    kd = kd.reshape(kd.shape[0], -1)
+    seeds = (kd[:, -1].astype(jnp.uint32)
+             & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
+    rec_rows, u_fin = pallas_sim_run_batched(
+        arm, cfg, sim, ref_path, states0.q, states0.dq, states0.mppi.u_prev,
+        states0.mppi.wp_idx, seeds, num_steps,
+        eps=None if eps_per_step is None else jnp.asarray(eps_per_step))
+    # rec_rows: (B, steps, lanes) -> SimRecord with (steps, B, ...) axes
+    r = rec_rows.transpose(1, 0, 2)
+    q = r[..., 0:2]
+    dq = r[..., 2:4]
+    x1, y1, x2, y2 = _fkf(q[..., 0], q[..., 1], arm)
+    idx = jnp.minimum(jnp.arange(1, num_steps + 1), ref_path.shape[0] - 1)
+    b = rec_rows.shape[0]
+    rec = SimRecord(
+        q=q, dq=dq, u=r[..., 4:6],
+        ee=jnp.stack([x2, y2], axis=-1), elbow=jnp.stack([x1, y1], axis=-1),
+        ref_xy=jnp.broadcast_to(ref_path[idx, None, 0:2],
+                                (num_steps, b, 2)),
+        wp_idx=r[..., 6].astype(jnp.int32),
+        cost_min=r[..., 8], cost_mean=r[..., 9],
+        ess=r[..., 10], weight_entropy=r[..., 11],
+        done=r[..., 7] > 0.5,
+    )
+    final = SimState(
+        step=states0.step + jnp.sum(~rec.done, axis=0).astype(jnp.int32),
+        q=q[-1], dq=dq[-1],
+        mppi=MPPIState(u_prev=u_fin, wp_idx=rec.wp_idx[-1]),
+        key=keys, done=rec.done[-1],
     )
     return final, rec
 

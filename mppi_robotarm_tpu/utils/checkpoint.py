@@ -4,7 +4,7 @@ The reference keeps everything in RAM and saves nothing.  The full closed-
 loop state is tiny and explicit — (step, q, dq, u_prev, waypoint index, PRNG
 key, done flag) per scenario — so checkpoints are a single ``.npz`` per save
 with integrity via atomic rename.  Resume re-enters the simulator at step k
-with bitwise-identical state (verified in tests/test_checkpoint.py).
+with bitwise-identical state (verified in tests/test_utils.py).
 """
 
 from __future__ import annotations

@@ -78,4 +78,6 @@ class MetricsLogger:
         for i in range(0, n, stride):
             self.log(i, cost_min=float(rec.cost_min[i]),
                      cost_mean=float(rec.cost_mean[i]),
+                     ess=float(rec.ess[i]),
+                     weight_entropy=float(rec.weight_entropy[i]),
                      wp_idx=int(rec.wp_idx[i]))

@@ -243,3 +243,29 @@ def test_tile_respects_vmem_budget():
     t = _pick_tile(8192, 200)
     assert t < 8192 and 3 * 2 * 200 * (t // 128) * 128 * 4 <= (10 << 20)
     assert 8192 % t == 0
+
+
+@pytest.mark.skipif(
+    jax.devices()[0].platform not in ("tpu",),
+    reason="hardware PRNG: the CPU TPU-interpreter stubs prng_random_bits "
+           "to zeros; run on-chip (tools/run_battery.sh)",
+)
+def test_seed_space_beyond_24_bits(ref_path):
+    """Seeds above 2^24 must produce distinct noise streams — the seed is an
+    int32 SMEM operand; a float32 round-trip would alias nearby seeds."""
+    from mppi_robotarm_tpu.ops.waypoint import slice_window
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=4)
+    window, _ = slice_window(jnp.asarray(ref_path, jnp.float32), 0, 30)
+    u = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (4, 1))
+    nv = jnp.float32(30.0)
+    x0 = jnp.asarray(X0, jnp.float32)
+    outs = []
+    # adjacent seeds just past 2^24 alias to the same float32 value
+    for seed in (2 ** 24 + 1, 2 ** 24 + 2):
+        _, s, _ = pallas_solve_core(
+            ARM, cfg, x0, u, window, nv,
+            seed=jnp.asarray(seed, jnp.int32), interpret=False)
+        outs.append(np.asarray(s))
+    assert not np.array_equal(outs[0], outs[1]), (
+        "seeds 2^24+1 and 2^24+2 produced identical noise — seed space "
+        "collapsed (float32 smuggling regression)")

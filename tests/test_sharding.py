@@ -154,3 +154,60 @@ def test_sharded_pallas_matches_single_chip(ref_path, rng, mesh_shape):
                                    np.asarray(res.weights), rtol=1e-3,
                                    atol=1e-6)
         assert int(wp_s[b]) == int(res.state.wp_idx)
+
+
+def test_non_divisible_k_raises(ref_path):
+    """K not divisible by the 'samples' axis must raise, not silently drop
+    samples (round-1 W3)."""
+    import dataclasses as dc
+    from mppi_robotarm_tpu.config import MPPIConfig, SimConfig
+    from mppi_robotarm_tpu.parallel.mesh import make_mesh
+    from mppi_robotarm_tpu.parallel.sharded import (
+        make_sharded_sim_step, make_sharded_solve)
+    mesh = make_mesh(data=1, samples=8)
+    bad = dc.replace(MPPIConfig(), num_samples=100)  # 100 % 8 != 0
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_solve(ARM, bad, mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        make_sharded_sim_step(ARM, bad, SimConfig(), mesh)
+
+
+def test_sharded_sim_step_pallas_matches_xla(ref_path):
+    """The production sharded closed-loop step with the fused kernel
+    (backend='pallas', threefry noise, two-level online-softmax combine)
+    tracks the XLA path step-for-step over 5 steps on a 2x4 mesh."""
+    from mppi_robotarm_tpu.config import SimConfig
+    mesh = make_mesh(data=2, samples=4)
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=32, horizon=6)
+    sim = SimConfig()
+    f_xla = make_sharded_sim_step(ARM, cfg, sim, mesh)
+    f_pal = make_sharded_sim_step(ARM, cfg, sim, mesh, backend="pallas",
+                                  noise="threefry", interpret=True)
+    batch = 4
+    ref = jnp.asarray(ref_path, jnp.float32)
+    q = jnp.tile(jnp.asarray([X0[:2]], jnp.float32), (batch, 1))
+    dq = jnp.zeros((batch, 2), jnp.float32)
+    up = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                  (batch, cfg.horizon, 1))
+    wp = jnp.zeros((batch,), jnp.int32)
+    sa = (q, dq, up, wp)
+    sb = (q, dq, up, wp)
+    key = jax.random.PRNGKey(3)
+    for i in range(5):
+        key, sub = jax.random.split(key)
+        keys = jax.random.key_data(
+            jax.vmap(lambda s: jax.random.fold_in(sub, s))(
+                jnp.arange(batch))).astype(jnp.uint32)
+        qa, dqa, upa, wpa, da, u0a = f_xla(ref, *sa, keys)
+        qb, dqb, upb, wpb, db, u0b = f_pal(ref, *sb, keys)
+        # identical threefry noise; kernel vs XLA differ only in summation
+        # order — tolerance grows with the mildly chaotic loop
+        tol = 1e-5 * 4 ** i
+        np.testing.assert_allclose(np.asarray(qb), np.asarray(qa), atol=tol,
+                                   err_msg=f"q step {i}")
+        np.testing.assert_allclose(np.asarray(u0b), np.asarray(u0a),
+                                   atol=10 * tol, err_msg=f"u0 step {i}")
+        np.testing.assert_array_equal(np.asarray(wpb), np.asarray(wpa))
+        assert not np.any(np.asarray(da)) and not np.any(np.asarray(db))
+        sa = (qa, dqa, upa, wpa)
+        sb = (qb, dqb, upb, wpb)

@@ -148,3 +148,17 @@ def test_closed_loop_parity_f64_long(ref_path):
     for i, atol in tol.items():
         np.testing.assert_allclose(recs[i][0], recs_exp[i][0], atol=atol,
                                    err_msg=f"step {i}")
+
+
+def test_solver_health_metrics_in_record(ref_path):
+    """The closed loop reports ESS and weight entropy per step (§5.5, W7)."""
+    import dataclasses as dc
+    cfg = dc.replace(MPPIConfig(), num_samples=64, horizon=8)
+    state0 = init_sim(cfg, SIM, jax.random.PRNGKey(0))
+    _, rec = simulate(ARM, cfg, SIM, jnp.asarray(ref_path, jnp.float32),
+                      state0, 10)
+    ess = np.asarray(rec.ess)
+    ent = np.asarray(rec.weight_entropy)
+    assert ess.shape == (10,) and ent.shape == (10,)
+    assert np.all((ess >= 1.0) & (ess <= cfg.num_samples + 1e-3))
+    assert np.all((ent >= -1e-6) & (ent <= np.log(cfg.num_samples) + 1e-3))

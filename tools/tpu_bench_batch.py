@@ -26,7 +26,8 @@ def main():
     k = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     t = int(sys.argv[3]) if len(sys.argv) > 3 else 30
     from mppi_robotarm_tpu.config import MPPIConfig, SimConfig, ArmParams
-    from mppi_robotarm_tpu.sim.loop import init_sim_batch, simulate_batch
+    from mppi_robotarm_tpu.sim.loop import (
+        init_sim_batch, simulate_batch, simulate_fused_batch)
     from mppi_robotarm_tpu.sim.paths import synth_circle_path
 
     print("devices:", jax.devices())
@@ -40,17 +41,26 @@ def main():
           + 0.01 * jax.random.normal(jax.random.PRNGKey(9), (b, 2)))
     steps = 20
 
-    for backend in ("xla", "pallas"):
+    def run_batch(backend):
+        states0 = init_sim_batch(cfg, sim, keys, q0=q0)
+        return simulate_batch(arm, cfg, sim, ref, states0, steps,
+                              backend=backend)
+
+    def run_fused():
+        states0 = init_sim_batch(cfg, sim, keys, q0=q0)
+        return simulate_fused_batch(arm, cfg, sim, ref, states0, steps)
+
+    runners = [("fused", run_fused),
+               ("pallas", lambda: run_batch("pallas")),
+               ("xla", lambda: run_batch("xla"))]
+    for name, runner in runners:
         try:
-            states0 = init_sim_batch(cfg, sim, keys, q0=q0)
-            out = simulate_batch(arm, cfg, sim, ref, states0, steps,
-                                 backend=backend)
+            out = runner()
             jax.block_until_ready(out)
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                out = simulate_batch(arm, cfg, sim, ref, states0, steps,
-                                     backend=backend)
+                out = runner()
                 jax.block_until_ready(out)
                 times.append(time.perf_counter() - t0)
             best = min(times)
@@ -59,13 +69,13 @@ def main():
             ee = np.asarray(rec.ee[-1])
             err = np.linalg.norm(
                 ee - np.asarray(ref)[steps, 0:2], axis=-1)
-            print(f"{backend:7}: B={b} K={k} T={t}: "
+            print(f"{name:7}: B={b} K={k} T={t}: "
                   f"{total_solves/best:12.0f} scenario-solves/s "
                   f"({best/steps*1e3:.2f} ms/batched-step; "
                   f"median EE err @step{steps}: {np.median(err)*1e3:.1f} mm)",
                   flush=True)
         except Exception as e:
-            print(f"{backend}: FAILED {type(e).__name__}: {str(e)[:200]}",
+            print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                   flush=True)
 
 

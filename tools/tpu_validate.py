@@ -85,8 +85,10 @@ def main():
 
     # 2. PRNG mode
     k = jax.random.PRNGKey(7)
-    ra = solve(arm, cfg, ref_path, x0, st, key=k, backend="pallas")
-    rb = solve(arm, cfg, ref_path, x0, st, key=k, backend="pallas")
+    ra = solve(arm, cfg, ref_path, x0, st, key=k, backend="pallas",
+               want_eps=True)
+    rb = solve(arm, cfg, ref_path, x0, st, key=k, backend="pallas",
+               want_eps=True)
     det = np.array_equal(np.asarray(ra.u_seq), np.asarray(rb.u_seq))
     e = np.asarray(ra.eps).reshape(-1, 2)
     print(f"2. prng: deterministic={det} mean={e.mean():+.4f} "
