@@ -68,3 +68,52 @@ def test_kernel_race_detector_clean(ref_path, rng):
                                     u, window, nvalid, jnp.asarray(eps))
     assert np.all(np.isfinite(np.asarray(w_eps)))
     assert np.all(np.isfinite(np.asarray(s)))
+
+
+def test_fault_injection_checkpoint_recovery(ref_path, tmp_path):
+    """Fault drill (SURVEY.md §5.3): NaN-poison the closed-loop state
+    mid-run, detect it with nan_guard, restart from the last checkpoint, and
+    finish bitwise-identically to an uninterrupted run."""
+    import dataclasses
+    import jax.numpy as jnp
+    from mppi_robotarm_tpu.config import MPPIConfig, SimConfig
+    from mppi_robotarm_tpu.sim.loop import init_sim, simulate
+    from mppi_robotarm_tpu.utils.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+    from mppi_robotarm_tpu.utils.metrics import nan_guard
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=32, horizon=6)
+    sim = SimConfig()
+    ref = jnp.asarray(ref_path, jnp.float32)
+    total, pre = 12, 5
+
+    # uninterrupted run
+    s0 = init_sim(cfg, sim, jax.random.PRNGKey(11))
+    ref_final, _ = simulate(ARM, cfg, sim, ref, s0, total)
+
+    # interrupted run: checkpoint at step `pre`, then a fault poisons q
+    s0b = init_sim(cfg, sim, jax.random.PRNGKey(11))
+    mid, _ = simulate(ARM, cfg, sim, ref, s0b, pre)
+    ckpt = str(tmp_path / "drill.npz")
+    save_checkpoint(ckpt, mid)
+    poisoned = mid._replace(q=mid.q.at[0].set(jnp.nan))  # the injected fault
+    bad_final, bad_rec = simulate(ARM, cfg, sim, ref, poisoned, total - pre)
+    # detection: the NaN propagates and the guard flags it
+    assert not nan_guard(bad_final.q), "fault must be detectable"
+    assert not nan_guard(bad_rec.u)
+
+    # recovery: reload the checkpoint and finish the run
+    restored = load_checkpoint(ckpt)
+    rec_final, _ = simulate(ARM, cfg, sim, ref, restored, total - pre)
+
+    # bitwise identity with the uninterrupted run
+    for field in ("q", "dq", "done"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_final, field)),
+            np.asarray(getattr(ref_final, field)), err_msg=field)
+    np.testing.assert_array_equal(np.asarray(rec_final.mppi.u_prev),
+                                  np.asarray(ref_final.mppi.u_prev))
+    assert int(rec_final.mppi.wp_idx) == int(ref_final.mppi.wp_idx)
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(rec_final.key)),
+        np.asarray(jax.random.key_data(ref_final.key)))
