@@ -82,6 +82,7 @@ def _sim_kernel(
     n_steps: int,
     tile: int,
     use_prng: bool,
+    unroll_t: bool = False,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
@@ -176,7 +177,8 @@ def _sim_kernel(
                                                         + l22 * z2)[None]
                         return 0
 
-                    jax.lax.fori_loop(0, T, gen, 0)
+                    jax.lax.fori_loop(0, T, gen, 0,
+                                      unroll=T if unroll_t else 1)
                 else:
                     eps_buf[...] = eps_in_ref[pl.ds(step * 2 * T, 2 * T)]
 
@@ -220,7 +222,8 @@ def _sim_kernel(
                     return q1, q2, dq1, dq2, s
 
                 q1, q2, dq1, dq2, s = jax.lax.fori_loop(
-                    0, T, roll, (q1, q2, dq1, dq2, s))
+                    0, T, roll, (q1, q2, dq1, dq2, s),
+                    unroll=T if unroll_t else 1)
                 s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
                                        *term_w, cfg=cfg, window_len=W,
                                        unroll=True)
@@ -259,7 +262,8 @@ def _sim_kernel(
                             (1, _LANES), v)
                         return 0
 
-                    jax.lax.fori_loop(0, T, fill, 0)
+                    jax.lax.fori_loop(0, T, fill, 0,
+                                      unroll=T if unroll_t else 1)
 
                     # scipy 'reflect' edges (single fold; fw <= 2T enforced)
                     def lpad(i, _):
@@ -299,7 +303,8 @@ def _sim_kernel(
                     u_rows[pl.ds(T + t, 1)] = u_rows[pl.ds(T + t + 1, 1)]
                     return 0
 
-                jax.lax.fori_loop(0, T - 1, shift, 0)
+                jax.lax.fori_loop(0, T - 1, shift, 0,
+                                  unroll=(T - 1) if unroll_t else 1)
 
                 # ---- plant step (run.py:53-55, Q2) ------------------------
                 u0_1 = u_rows[0, 0]
@@ -385,6 +390,7 @@ def pallas_sim_run_batched(
     n_steps: int,
     eps: Optional[jnp.ndarray] = None,  # (B, n_steps, K, T, 2) injected
     interpret: bool = False,
+    unroll_t: bool = False,             # fully unroll the T-length loops
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -437,7 +443,7 @@ def pallas_sim_run_batched(
 
     kernel = functools.partial(
         _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
-        use_prng=use_prng)
+        use_prng=use_prng, unroll_t=unroll_t)
 
     rec, ufin = pl.pallas_call(
         kernel,
@@ -494,6 +500,7 @@ def pallas_sim_run(
     n_steps: int,
     eps: Optional[jnp.ndarray] = None,   # (n_steps, K, T, 2) injected
     interpret: bool = False,
+    unroll_t: bool = False,
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -507,5 +514,5 @@ def pallas_sim_run(
         jnp.asarray(wp_idx).reshape(1), jnp.asarray(seed).reshape(1),
         n_steps,
         eps=None if eps is None else jnp.asarray(eps)[None],
-        interpret=interpret)
+        interpret=interpret, unroll_t=unroll_t)
     return rec[0], ufin[0]

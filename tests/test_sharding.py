@@ -211,3 +211,11 @@ def test_sharded_sim_step_pallas_matches_xla(ref_path):
         assert not np.any(np.asarray(da)) and not np.any(np.asarray(db))
         sa = (qa, dqa, upa, wpa)
         sb = (qb, dqb, upb, wpb)
+
+
+def test_initialize_multihost_single_process_noop():
+    """On a single-process run the multihost bring-up must be a harmless
+    no-op (the pod path auto-detects from the environment)."""
+    from mppi_robotarm_tpu.parallel.mesh import initialize_multihost
+    initialize_multihost()          # must not raise
+    initialize_multihost()          # idempotent
