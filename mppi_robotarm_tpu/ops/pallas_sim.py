@@ -120,7 +120,7 @@ def _sim_kernel(
             win_ref[j, 2] = row[0, 2]
             win_ref[j, 3] = row[0, 3]
             return 0
-        jax.lax.fori_loop(0, W, cp, 0)
+        jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll_t else 1)
 
     def step_body(step, _):
         done = st_ref[5] > 0.5
@@ -147,7 +147,8 @@ def _sim_kernel(
                 return (jnp.where(better, d, bd), jnp.where(better, j, bj))
 
             _, off = jax.lax.fori_loop(0, W, am,
-                                       (jnp.float32(np.inf), jnp.int32(0)))
+                                       (jnp.float32(np.inf), jnp.int32(0)),
+                                       unroll=W if unroll_t else 1)
             widx = widx + off
             path_end = widx >= n_ref.astype(jnp.int32) - 1
             # freeze semantics match sim_step: once path_end fires, wp_idx
