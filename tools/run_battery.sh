@@ -6,6 +6,10 @@ set -u
 cd "$(dirname "$0")/.."
 echo "=== kernel parity + PRNG + latency sweep ==="
 python tools/tpu_validate.py
+echo "=== extreme shapes (tile-picker allocation check) ==="
+python tools/tpu_extreme_shapes.py
+echo "=== fused-vs-per-step long-run discrete parity ==="
+python tools/tpu_fused_longrun.py 150
 echo "=== batch throughput (config 4) ==="
 python tools/tpu_bench_batch.py 1024 1024 30
 echo "=== headline bench ==="
