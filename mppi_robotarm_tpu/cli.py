@@ -38,8 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--backend", choices=("xla", "pallas", "pallas-fused"),
                    default="xla",
                    help="portable XLA scan, per-step fused Pallas kernel, "
-                        "or the whole-loop fused kernel (fastest; single "
-                        "scenario, no --batch/--checkpoint-every)")
+                        "or the whole-loop fused kernel (fastest; with "
+                        "--batch it runs the scenario-grid kernel; no "
+                        "--checkpoint-every)")
     p.add_argument("--out-dir", default=None,
                    help="save records (.npz), metrics (.json), figures")
     p.add_argument("--figures", action="store_true",
@@ -91,9 +92,8 @@ def main(argv=None) -> int:
     ref_j = jnp.asarray(ref)
 
     if args.batch > 0:
-        if args.backend == "pallas-fused":
-            raise SystemExit("--batch supports backends xla/pallas only")
-        from .sim.loop import init_sim_batch, simulate_batch
+        from .sim.loop import (init_sim_batch, simulate_batch,
+                               simulate_fused_batch)
 
         keys = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(args.seed, args.seed + args.batch))
@@ -102,8 +102,14 @@ def main(argv=None) -> int:
                                          (args.batch, 2)))
         states = init_sim_batch(mppi, sim, keys, q0=q0)
         t0 = time.perf_counter()
-        final, recb = simulate_batch(arm, mppi, sim, ref_j, states, steps,
-                                     backend=args.backend)
+        if args.backend == "pallas-fused":
+            # the whole B-scenario fleet in ONE kernel launch (fastest;
+            # K must fit one kernel tile)
+            final, recb = simulate_fused_batch(arm, mppi, sim, ref_j,
+                                               states, steps)
+        else:
+            final, recb = simulate_batch(arm, mppi, sim, ref_j, states,
+                                         steps, backend=args.backend)
         jax.block_until_ready(recb.q)
         wall = time.perf_counter() - t0
         ee_last = np.asarray(recb.ee[-1])

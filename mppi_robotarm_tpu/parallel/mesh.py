@@ -62,6 +62,7 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError:
-        # Already initialised or single-process environment.
+    except (RuntimeError, ValueError):
+        # Already initialised, or a single-process environment where no
+        # coordinator can be auto-detected (ValueError) — both are no-ops.
         pass

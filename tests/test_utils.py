@@ -143,3 +143,24 @@ def test_cli_checkpoint_every(tmp_path):
     assert rc == 0
     st = load_checkpoint(ckpt)
     assert int(st.step) == 9
+
+
+def test_orbax_checkpoint_roundtrip(ref_path, tmp_path):
+    """The orbax (multi-host) checkpoint backend round-trips a SimState
+    bitwise, same as the .npz path (SURVEY.md §5.4)."""
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    from mppi_robotarm_tpu.utils.checkpoint import (load_checkpoint_orbax,
+                                                    save_checkpoint_orbax)
+    state = init_sim(CFG, SIM, jax.random.PRNGKey(3))
+    path = str(tmp_path / "orbax_ckpt")
+    save_checkpoint_orbax(path, state)
+    restored = load_checkpoint_orbax(path)
+    np.testing.assert_array_equal(np.asarray(restored.q),
+                                  np.asarray(state.q))
+    np.testing.assert_array_equal(np.asarray(restored.mppi.u_prev),
+                                  np.asarray(state.mppi.u_prev))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(restored.key)),
+        np.asarray(jax.random.key_data(state.key)))
+    assert int(restored.step) == int(state.step)
