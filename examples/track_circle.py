@@ -38,7 +38,7 @@ def main():
     print({k: round(v * 1e3, 3) for k, v in errs.items()}, "(mm)")
 
     from mppi_robotarm_tpu.utils.plotting import plot_results
-    fig1, fig2 = plot_results(rec, ref, sim.dt)
+    fig1, fig2 = plot_results(rec, ref)
     out = os.path.dirname(os.path.abspath(__file__))
     fig1.savefig(os.path.join(out, "tracking.png"), dpi=130)
     fig2.savefig(os.path.join(out, "controls.png"), dpi=130)

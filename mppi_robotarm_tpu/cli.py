@@ -54,7 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metrics-every", type=int, default=100)
     p.add_argument("--batch", type=int, default=0,
                    help="run B parallel scenarios (initial states jittered "
-                        "per scenario); records/figures cover scenario 0")
+                        "per scenario); saves all scenarios' records; "
+                        "--figures draws scenario 0; --checkpoint saves the "
+                        "final batched state; --checkpoint-every and "
+                        "--render-step are not supported in batch mode")
     p.add_argument("--render-step", type=int, default=None,
                    help="after the run, render the sampled/optimal "
                         "trajectories at this recorded step (the reference's "
@@ -95,6 +98,13 @@ def main(argv=None) -> int:
         from .sim.loop import (init_sim_batch, simulate_batch,
                                simulate_fused_batch)
 
+        # fail loudly on flags the batch branch cannot honour rather than
+        # silently ignoring them after an expensive run
+        if args.checkpoint_every > 0:
+            raise SystemExit("--checkpoint-every is not supported with "
+                             "--batch (use --checkpoint for a final save)")
+        if args.render_step is not None:
+            raise SystemExit("--render-step is not supported with --batch")
         keys = jax.vmap(jax.random.PRNGKey)(
             jnp.arange(args.seed, args.seed + args.batch))
         q0 = (jnp.asarray([sim.q0], jnp.float32)
@@ -128,6 +138,18 @@ def main(argv=None) -> int:
             np.savez(os.path.join(args.out_dir, "batch_record.npz"),
                      **{f: np.asarray(getattr(recb, f))
                         for f in recb._fields})
+            if args.figures:
+                from .utils.plotting import plot_results
+                # scenario 0's view of the (steps, B, ...) record arrays
+                rec0 = type(recb)(*(np.asarray(v)[:, 0] for v in recb))
+                fig1, fig2 = plot_results(rec0, ref)
+                fig1.savefig(os.path.join(args.out_dir,
+                                          "figure1_tracking.png"), dpi=150)
+                fig2.savefig(os.path.join(args.out_dir,
+                                          "figure2_controls.png"), dpi=150)
+        if args.checkpoint:
+            from .utils.checkpoint import save_checkpoint as _save
+            _save(args.checkpoint, final)
         return 0
 
     if args.checkpoint and os.path.exists(args.checkpoint):
@@ -195,7 +217,7 @@ def main(argv=None) -> int:
             json.dump(summary, f, indent=2)
         if args.figures:
             from .utils.plotting import plot_results
-            fig1, fig2 = plot_results(rec, ref, sim.dt)
+            fig1, fig2 = plot_results(rec, ref)
             fig1.savefig(os.path.join(args.out_dir, "figure1_tracking.png"),
                          dpi=150)
             fig2.savefig(os.path.join(args.out_dir, "figure2_controls.png"),

@@ -136,14 +136,15 @@ def solve(
         # (K>=8192); bounded to modest horizons to cap code size
         unroll = cfg.horizon <= 64
         if eps is None:
-            # hardware PRNG seed derived from the threefry key; the noise
-            # stays VMEM-only unless the caller asked for it (want_eps)
-            seed = jax.random.randint(key, (), 0, jnp.iinfo(jnp.int32).max,
+            # two-word hardware PRNG seed derived from the threefry key
+            # (folded as (seed, step, tile) in-kernel — 2^62 stream space);
+            # the noise stays VMEM-only unless the caller asked for it
+            seed = jax.random.randint(key, (2,), 0, jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
             out, s, eps = pallas_solve_core(
                 arm, cfg, observed_x, state.u_prev, window, nvalid,
-                seed=seed, fuse_update=fuse, emit_eps=want_eps,
-                unroll_t=unroll)
+                seed=seed[0], step=seed[1], fuse_update=fuse,
+                emit_eps=want_eps, unroll_t=unroll)
         else:
             out, s, eps = pallas_solve_core(
                 arm, cfg, observed_x, state.u_prev, window, nvalid,
@@ -190,6 +191,11 @@ def solve_batched_pallas(
     observed_x: jnp.ndarray,     # (B, 4)
     state: MPPIState,            # batched: u_prev (B,T,2), wp_idx (B,)
     seeds: jnp.ndarray,          # (B,) int32 hardware-PRNG seeds
+    step: Optional[jnp.ndarray] = None,  # (B,) or () int32 closed-loop step
+                                 # folded into the PRNG stream — pass a
+                                 # scenario-CONSTANT seed plus the step so
+                                 # per-step streams cannot birthday-collide
+                                 # across (scenario, step) pairs
 ) -> SolveResult:
     """B-scenario solve through ONE batched kernel launch (grid B × K-tiles).
 
@@ -218,7 +224,7 @@ def solve_batched_pallas(
     w_eps_raw, s, eps, _ = pallas_solve_batched(
         arm, cfg, observed_x.astype(jnp.float32),
         state.u_prev.astype(jnp.float32), window, nvalid, seed=seeds,
-        emit_eps=False, unroll_t=cfg.horizon <= 64)
+        step=step, emit_eps=False, unroll_t=cfg.horizon <= 64)
     s = s.astype(dtype)
     w = jax.vmap(lambda si: mppi_weights(si, cfg.lam))(s)
     w_eps = jax.vmap(lambda we: median_filter_reflect(we, cfg.filter_window)

@@ -144,9 +144,14 @@ def _solve_kernel(
     # scalar-prefetch / SMEM inputs
     scalars_ref,     # SMEM (1,8): [q1,q2,dq1,dq2, nvalid, k_thresh,
                      #              k_local_real, k_offset]
-    seed_ref,        # SMEM (1,1) int32 PRNG seed — a dedicated integer
+    seed_ref,        # SMEM (1,2) int32 [seed, step] — a dedicated integer
                      # operand so the full 2^31 seed space survives (a
-                     # float32 round-trip would clamp it to ~2^24)
+                     # float32 round-trip would clamp it to ~2^24).  The
+                     # PRNG folds (seed, step, tile): a closed-loop driver
+                     # passes a per-scenario CONSTANT seed plus the global
+                     # step index instead of drawing a fresh flat seed per
+                     # step, so supposedly-independent scenario-steps can
+                     # never birthday-collide onto one noise stream.
     u_ref,           # SMEM (T, 2) nominal controls
     su_ref,          # SMEM (T, 2) Σ⁻¹·u[t]
     chol_ref,        # SMEM (3,)  [L11, L21, L22]
@@ -192,7 +197,12 @@ def _solve_kernel(
 
     # ---- noise for this tile --------------------------------------------
     if use_prng:
-        pltpu.prng_seed(seed_ref[0, 0], p_id)
+        # Mosaic hardware seeding takes at most TWO 32-bit words: word 1 is
+        # the caller's seed, word 2 packs (step << 10 | tile) — injective for
+        # step < 2^21 and n_tiles <= 1024 (checked by the wrapper); when a
+        # second random seed word rides the step slot (parallel/sharded.py)
+        # the int32 wrap keeps it well mixed.
+        pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] * 1024 + p_id)
         l11 = chol_ref[0]
         l21 = chol_ref[1]
         l22 = chol_ref[2]
@@ -331,6 +341,8 @@ def pallas_solve_batched(
     nvalid: jnp.ndarray,      # (B,) valid window rows per scenario
     seed: Optional[jnp.ndarray] = None,   # (B,) int32 — PRNG mode
     eps: Optional[jnp.ndarray] = None,    # (B, K, T, 2) — injected mode
+    step: Optional[jnp.ndarray] = None,   # (B,) or () int32 step index folded
+                                          # into the PRNG stream (default 0)
     interpret: bool = False,
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
     emit_eps: bool = True,                # return the (B,K,T,2) noise used
@@ -373,6 +385,11 @@ def pallas_solve_batched(
     n_tiles = Kpad // tile
     sub = tile // _LANES
     use_prng = eps is None
+    if use_prng and n_tiles > 1024:
+        raise ValueError(
+            f"PRNG mode supports at most 1024 K-tiles (got {n_tiles}); "
+            "the (step, tile) packing in the 2-word hardware seed would "
+            "alias streams beyond that")
 
     x0 = x0.astype(jnp.float32)
     u = u.astype(jnp.float32)
@@ -385,10 +402,13 @@ def pallas_solve_batched(
     k_actual = jnp.full((B, 1), float(K), jnp.float32)
     k_off = (jnp.zeros((B, 1), jnp.float32) if k_offset is None
              else k_offset.astype(jnp.float32).reshape(B, 1))
-    # seed travels as a dedicated int32 operand — never through float32
+    # seed + step travel as a dedicated int32 operand — never through float32
     # (a float32 round-trip collapses the 2^31 seed space to ~2^24)
-    seeds = (seed.astype(jnp.int32).reshape(B, 1, 1) if seed is not None
-             else jnp.zeros((B, 1, 1), jnp.int32))
+    step_col = (jnp.zeros((B,), jnp.int32) if step is None
+                else jnp.broadcast_to(jnp.asarray(step, jnp.int32), (B,)))
+    seed_col = (seed.astype(jnp.int32).reshape(B) if seed is not None
+                else jnp.zeros((B,), jnp.int32))
+    seeds = jnp.stack([seed_col, step_col], axis=-1).reshape(B, 1, 2)
     scalars = jnp.concatenate([
         x0,
         nvalid.astype(jnp.float32)[:, None],
@@ -428,8 +448,8 @@ def pallas_solve_batched(
         in_specs=[
             pl.BlockSpec((None, 1, 8), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # scalars
-            pl.BlockSpec((None, 1, 1), lambda b, p: (b, 0, 0),
-                         memory_space=pltpu.SMEM),                  # seed i32
+            pl.BlockSpec((None, 1, 2), lambda b, p: (b, 0, 0),
+                         memory_space=pltpu.SMEM),                  # seed,step i32
             pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
                          memory_space=pltpu.SMEM),                  # u
             pl.BlockSpec((None, T, 2), lambda b, p: (b, 0, 0),
@@ -487,6 +507,7 @@ def pallas_solve_core(
     nvalid: jnp.ndarray,      # () number of valid window rows
     seed: Optional[jnp.ndarray] = None,   # () int32 — PRNG mode
     eps: Optional[jnp.ndarray] = None,    # (K, T, 2) — injected mode
+    step: Optional[jnp.ndarray] = None,   # () int32 PRNG-stream step index
     interpret: bool = False,
     tile: Optional[int] = None,           # K-tile override (tests/tuning)
     emit_eps: bool = True,                # return the (K,T,2) noise actually used
@@ -504,6 +525,7 @@ def pallas_solve_core(
         jnp.asarray(nvalid)[None],
         seed=None if seed is None else jnp.asarray(seed)[None],
         eps=None if eps is None else eps[None],
+        step=None if step is None else jnp.asarray(step).reshape(1),
         interpret=interpret, tile=tile, emit_eps=emit_eps,
         fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
     )

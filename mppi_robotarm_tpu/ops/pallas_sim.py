@@ -60,9 +60,13 @@ _REC_LANES = 12  # [q1,q2,dq1,dq2,u1,u2,wp_idx,done,cost_min,cost_mean,
 def _sim_kernel(
     scalars_ref,   # SMEM (1,7): [q1,q2,dq1,dq2, wp_idx0, n_ref, k_actual]
                    # — this scenario's block of the (B,1,7) array
-    seed_ref,      # SMEM (1,1) int32 PRNG seed (dedicated integer operand so
-                   # the full 2^31 seed space survives; float32 would clamp
-                   # it to ~2^24)
+    seed_ref,      # SMEM (1,2) int32 [seed, step0] (dedicated integer operand
+                   # so the full 2^31 seed space survives; float32 would
+                   # clamp it to ~2^24).  The PRNG folds (seed, step0 + step):
+                   # step0 is the scenario's absolute step count at entry, so
+                   # a checkpoint-resumed or chained run CONTINUES the exact
+                   # noise stream of an uninterrupted run instead of
+                   # replaying it from step 0.
     chol_ref,      # SMEM (3,): [L11, L21, L22] (shared across scenarios)
     sinv_ref,      # SMEM (4,): Σ⁻¹ row-major (shared)
     u0_ref,        # VMEM (2T, 128) initial warm start, dim-major lane-dup rows
@@ -166,7 +170,7 @@ def _sim_kernel(
 
                 # ---- noise ------------------------------------------------
                 if use_prng:
-                    pltpu.prng_seed(seed_ref[0, 0], step)
+                    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + step)
                     l11 = chol_ref[0]
                     l21 = chol_ref[1]
                     l22 = chol_ref[2]
@@ -308,36 +312,17 @@ def _sim_kernel(
                                   unroll=(T - 1) if unroll_t else 1)
 
                 # ---- plant step (run.py:53-55, Q2) ------------------------
+                # same semi-implicit update as the rollout model, just at the
+                # plant dt and with the disturbance torque — one shared
+                # implementation so a dynamics fix can never drift between
+                # the controller model and the plant inside this kernel
                 u0_1 = u_rows[0, 0]
                 u0_2 = u_rows[T, 0]
-                pq1 = st_ref[0]
-                pq2 = st_ref[1]
-                pdq1 = st_ref[2]
-                pdq2 = st_ref[3]
-                c2 = jnp.cos(pq2)
-                m11 = (arm.m1 * arm.lc1 ** 2 + arm.l1
-                       + arm.m2 * (arm.l1 ** 2 + arm.lc2 ** 2
-                                   + 2.0 * arm.l1 * arm.lc2 * c2) + arm.l2)
-                m12 = (arm.m2 * arm.l1 * arm.lc2 * c2
-                       + arm.m2 * arm.lc2 ** 2 + arm.l2)
-                m22 = arm.m2 * arm.lc2 ** 2 + arm.l2
-                h = arm.m2 * arm.l1 * arm.lc2 * jnp.sin(pq2)
-                c1 = jnp.cos(pq1)
-                c12 = jnp.cos(pq1 + pq2)
-                g1 = (arm.m1 * arm.lc1 * arm.g * c1
-                      + arm.m2 * arm.g * (arm.lc2 * c12 + arm.l1 * c1))
-                g2 = arm.m2 * arm.lc2 * arm.g * c12
-                r1 = (u0_1 + dist[0]
-                      - (-h * pdq2 * pdq1 + (-h * pdq1 - h * pdq2) * pdq2)
-                      - g1)
-                r2 = u0_2 + dist[1] - (h * pdq1 * pdq1) - g2
-                invd = 1.0 / (m11 * m22 - m12 * m12)
-                dd1 = (m22 * r1 - m12 * r2) * invd
-                dd2 = (-m12 * r1 + m11 * r2) * invd
-                ndq1 = pdq1 + dt_p * dd1
-                ndq2 = pdq2 + dt_p * dd2
-                st_ref[0] = pq1 + dt_p * ndq1
-                st_ref[1] = pq2 + dt_p * ndq2
+                nq1, nq2, ndq1, ndq2 = _dynamics_step(
+                    st_ref[0], st_ref[1], st_ref[2], st_ref[3],
+                    u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
+                st_ref[0] = nq1
+                st_ref[1] = nq2
                 st_ref[2] = ndq1
                 st_ref[3] = ndq2
 
@@ -392,6 +377,9 @@ def pallas_sim_run_batched(
     eps: Optional[jnp.ndarray] = None,  # (B, n_steps, K, T, 2) injected
     interpret: bool = False,
     unroll_t: bool = False,             # fully unroll the T-length loops
+    step0=None,                         # (B,) or () int32 absolute step at
+                                        # entry — folded into the PRNG stream
+                                        # so resumed runs continue, not replay
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -422,7 +410,11 @@ def pallas_sim_run_batched(
         jnp.full((B,), jnp.float32(ref_path.shape[0])),
         jnp.full((B,), jnp.float32(K)),
     ], axis=1)[:, None, :]                               # (B, 1, 7)
-    seed_i32 = jnp.asarray(seed, jnp.int32).reshape(B, 1, 1)
+    step_col = (jnp.zeros((B,), jnp.int32) if step0 is None
+                else jnp.broadcast_to(jnp.asarray(step0, jnp.int32), (B,)))
+    seed_i32 = jnp.stack(
+        [jnp.asarray(seed, jnp.int32).reshape(B), step_col],
+        axis=-1).reshape(B, 1, 2)
     # dim-major lane-duplicated control rows, per scenario
     u0_rows = jnp.broadcast_to(
         u_prev.astype(jnp.float32).transpose(0, 2, 1).reshape(B, 2 * T, 1),
@@ -452,8 +444,8 @@ def pallas_sim_run_batched(
         in_specs=[
             pl.BlockSpec((None, 1, 7), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # scalars f32
-            pl.BlockSpec((None, 1, 1), lambda b: (b, 0, 0),
-                         memory_space=pltpu.SMEM),       # seed i32
+            pl.BlockSpec((None, 1, 2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.SMEM),       # seed,step0 i32
             pl.BlockSpec(memory_space=pltpu.SMEM),       # chol (shared)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # sigma^-1 (shared)
             pl.BlockSpec((None, 2 * T, _LANES), lambda b: (b, 0, 0),
@@ -502,6 +494,7 @@ def pallas_sim_run(
     eps: Optional[jnp.ndarray] = None,   # (n_steps, K, T, 2) injected
     interpret: bool = False,
     unroll_t: bool = False,
+    step0=None,                          # () int32 absolute step at entry
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -515,5 +508,6 @@ def pallas_sim_run(
         jnp.asarray(wp_idx).reshape(1), jnp.asarray(seed).reshape(1),
         n_steps,
         eps=None if eps is None else jnp.asarray(eps)[None],
-        interpret=interpret, unroll_t=unroll_t)
+        interpret=interpret, unroll_t=unroll_t,
+        step0=None if step0 is None else jnp.asarray(step0).reshape(1))
     return rec[0], ufin[0]

@@ -74,7 +74,7 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
 
 def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
                         u_prev, wp_idx, eps_local=None, seeds=None,
-                        k_local=None, interpret=False):
+                        seeds2=None, k_local=None, interpret=False):
     """Per-device scenario-batch solve through the fused kernel.
 
     Noise: either injected ``eps_local`` (B_local, K_local, T, 2) — the
@@ -109,10 +109,13 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
     k_offset = jnp.full((b_loc,), lax.axis_index(SAMPLES_AXIS) * k_loc,
                         jnp.float32)
 
+    # seeds2 rides the kernel's step slot — prng_seed folds (seed, step,
+    # tile), so two words give a 2^62 seed space: (scenario, step) pairs
+    # cannot realistically birthday-collide onto one noise stream.
     a_local, s_local, _, (m_loc, eta_loc) = pallas_solve_batched(
         arm, cfg, observed.astype(jnp.float32), u_prev.astype(jnp.float32),
-        window, nvalid, eps=eps_local, seed=seeds, k_local=k_loc,
-        normalize=False, k_offset=k_offset, emit_eps=False,
+        window, nvalid, eps=eps_local, seed=seeds, step=seeds2,
+        k_local=k_loc, normalize=False, k_offset=k_offset, emit_eps=False,
         interpret=interpret)
 
     lam = jnp.asarray(cfg.lam, jnp.float32)
@@ -237,11 +240,12 @@ def make_sharded_sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
                     eps_local=eps, interpret=interpret)
             else:
                 seeds = jax.vmap(lambda k: jax.random.randint(
-                    k, (), 0, jnp.iinfo(jnp.int32).max,
+                    k, (2,), 0, jnp.iinfo(jnp.int32).max,
                     dtype=jnp.int32))(folded)
                 u0, _, u_next, wp_new, path_end, _, _ = _solve_local_pallas(
                     arm, cfg, ref_path, observed, u_prev, wp_idx,
-                    seeds=seeds, k_local=k_local, interpret=interpret)
+                    seeds=seeds[:, 0], seeds2=seeds[:, 1],
+                    k_local=k_local, interpret=interpret)
             u0 = u0.astype(q.dtype)
             u_next = u_next.astype(u_prev.dtype)
             q_new, dq_new = jax.vmap(_plant)(q, dq, u0)

@@ -136,9 +136,13 @@ def simulate(
         next_state, res = sim_step(arm, cfg, sim, ref_path, state,
                                    backend=backend)
         x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
+        # ref row indexed by the ABSOLUTE step (run.py:65-66 records
+        # ref_path[k] with k the global iteration) — state0.step offsets a
+        # chunked/checkpoint-resumed run so its records stay step-aligned
         ref_row = lax.dynamic_slice_in_dim(
-            ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
-        )[0]
+            ref_path,
+            jnp.minimum(state0.step + step_i + 1, ref_path.shape[0] - 1),
+            1, 0)[0]
         # after path end the record carries the frozen state with u/cost
         # lanes zeroed — identical semantics to the fused kernel's
         # _mark_end/_frozen rows (ops/pallas_sim.py)
@@ -202,11 +206,13 @@ def simulate_batch(
     does not Mosaic-lower.  For multi-chip, shard the batch with
     parallel.sharded.make_sharded_sim_step instead.
     """
-    def _record(next_state, res, step_i):
+    def _record(next_state, res, step_i, step0):
         x1, y1, x2, y2 = fk_full(next_state.q[0], next_state.q[1], arm)
+        # absolute step index (step0 = this scenario's step count at entry)
+        # keeps chunked/resumed runs step-aligned with run.py:65-66
         ref_row = lax.dynamic_slice_in_dim(
-            ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1), 1, 0
-        )[0]
+            ref_path, jnp.minimum(step0 + step_i + 1, ref_path.shape[0] - 1),
+            1, 0)[0]
         dn = next_state.done
         zero = lambda v: jnp.where(dn, jnp.zeros_like(v), v)
         return SimRecord(
@@ -223,16 +229,24 @@ def simulate_batch(
     if backend == "pallas":
         from ..mppi.solver import solve_batched_pallas
 
+        # Scenario-CONSTANT hardware-PRNG seeds: the kernel folds
+        # (seed, absolute step, K-tile), so no two (scenario, step) pairs
+        # can birthday-collide onto one noise stream the way per-step
+        # 31-bit redraws would (B=1024 × 1500 steps ⇒ ~500 expected
+        # colliding pairs).  states.key is NOT consumed per step — the
+        # stream is indexed by (seed, step), so a checkpoint-resumed run
+        # (same key, advanced step) CONTINUES it rather than replaying.
+        seeds0 = jax.vmap(
+            lambda k: jax.random.randint(k, (), 0,
+                                         jnp.iinfo(jnp.int32).max,
+                                         dtype=jnp.int32))(states0.key)
+
         def body(states, step_i):
             observed = jnp.concatenate([states.q, states.dq], axis=-1)
-            keys = jax.vmap(jax.random.split, in_axes=0)(states.key)
-            key_next, sub = keys[:, 0], keys[:, 1]
-            seeds = jax.vmap(
-                lambda k: jax.random.randint(k, (), 0,
-                                             jnp.iinfo(jnp.int32).max,
-                                             dtype=jnp.int32))(sub)
+            key_next = states.key
             res = solve_batched_pallas(arm, cfg, ref_path, observed,
-                                       states.mppi, seeds)
+                                       states.mppi, seeds0,
+                                       step=states0.step + step_i)
             done = jnp.logical_or(states.done, res.path_end)
 
             def plant(q, dq, u0):
@@ -255,17 +269,15 @@ def simulate_batch(
             )
             x1, y1, x2, y2 = jax.vmap(
                 lambda q: fk_full(q[0], q[1], arm))(next_states.q)
-            ref_row = lax.dynamic_slice_in_dim(
-                ref_path, jnp.minimum(step_i + 1, ref_path.shape[0] - 1),
-                1, 0)[0]
-            b = next_states.q.shape[0]
+            ref_idx = jnp.minimum(states0.step + step_i + 1,
+                                  ref_path.shape[0] - 1)         # (B,)
             dn = next_states.done
             recs = SimRecord(
                 q=next_states.q, dq=next_states.dq,
                 u=jnp.where(dn[:, None], 0.0, res.u0),
                 ee=jnp.stack([x2, y2], axis=-1),
                 elbow=jnp.stack([x1, y1], axis=-1),
-                ref_xy=jnp.broadcast_to(ref_row[0:2], (b, 2)),
+                ref_xy=jnp.take(ref_path, ref_idx, axis=0)[:, 0:2],
                 wp_idx=next_states.mppi.wp_idx,
                 cost_min=jnp.where(dn, 0.0, jnp.min(res.costs, axis=-1)),
                 cost_mean=jnp.where(dn, 0.0, jnp.mean(res.costs, axis=-1)),
@@ -279,12 +291,12 @@ def simulate_batch(
         return lax.scan(body, states0, jnp.arange(num_steps))
 
     def body(states, step_i):
-        def one(state):
+        def one(state, step0):
             next_state, res = sim_step(arm, cfg, sim, ref_path, state,
                                        backend=backend)
-            return next_state, _record(next_state, res, step_i)
+            return next_state, _record(next_state, res, step_i, step0)
 
-        return jax.vmap(one)(states)
+        return jax.vmap(one, in_axes=(0, 0))(states, states0.step)
 
     return lax.scan(body, states0, jnp.arange(num_steps))
 
@@ -329,11 +341,12 @@ def simulate_fused(
         arm, cfg, sim, ref_path, state0.q, state0.dq, state0.mppi.u_prev,
         state0.mppi.wp_idx, seed, num_steps,
         eps=None if eps_per_step is None else jnp.asarray(eps_per_step),
-        unroll_t=cfg.horizon <= 64)
+        unroll_t=cfg.horizon <= 64, step0=state0.step)
     q = rec_rows[:, 0:2]
     dq = rec_rows[:, 2:4]
     x1, y1, x2, y2 = _fkf(q[:, 0], q[:, 1], arm)
-    idx = jnp.minimum(jnp.arange(1, num_steps + 1), ref_path.shape[0] - 1)
+    idx = jnp.minimum(state0.step + jnp.arange(1, num_steps + 1),
+                      ref_path.shape[0] - 1)
     rec = SimRecord(
         q=q, dq=dq, u=rec_rows[:, 4:6],
         ee=jnp.stack([x2, y2], axis=-1), elbow=jnp.stack([x1, y1], axis=-1),
@@ -344,6 +357,10 @@ def simulate_fused(
         done=rec_rows[:, 7] > 0.5,
     )
     done = rec.done[-1]
+    # key is returned UNCHANGED on purpose: the fused noise stream is
+    # indexed by (seed-from-key, absolute step), so chaining from the
+    # returned state (same key, advanced .step) CONTINUES the stream —
+    # bitwise-identical to an uninterrupted run — rather than replaying it.
     final = SimState(
         step=state0.step + jnp.sum(~rec.done).astype(jnp.int32),
         q=q[-1], dq=dq[-1],
@@ -385,24 +402,28 @@ def simulate_fused_batch(
         arm, cfg, sim, ref_path, states0.q, states0.dq, states0.mppi.u_prev,
         states0.mppi.wp_idx, seeds, num_steps,
         eps=None if eps_per_step is None else jnp.asarray(eps_per_step),
-        unroll_t=cfg.horizon <= 64)
+        unroll_t=cfg.horizon <= 64, step0=states0.step)
     # rec_rows: (B, steps, lanes) -> SimRecord with (steps, B, ...) axes
     r = rec_rows.transpose(1, 0, 2)
     q = r[..., 0:2]
     dq = r[..., 2:4]
     x1, y1, x2, y2 = _fkf(q[..., 0], q[..., 1], arm)
-    idx = jnp.minimum(jnp.arange(1, num_steps + 1), ref_path.shape[0] - 1)
-    b = rec_rows.shape[0]
+    # (steps, B) absolute ref indices — per-scenario step offsets
+    idx = jnp.minimum(states0.step[None, :]
+                      + jnp.arange(1, num_steps + 1)[:, None],
+                      ref_path.shape[0] - 1)
     rec = SimRecord(
         q=q, dq=dq, u=r[..., 4:6],
         ee=jnp.stack([x2, y2], axis=-1), elbow=jnp.stack([x1, y1], axis=-1),
-        ref_xy=jnp.broadcast_to(ref_path[idx, None, 0:2],
-                                (num_steps, b, 2)),
+        ref_xy=jnp.take(ref_path, idx.reshape(-1), axis=0)[:, 0:2]
+            .reshape(num_steps, -1, 2),
         wp_idx=r[..., 6].astype(jnp.int32),
         cost_min=r[..., 8], cost_mean=r[..., 9],
         ess=r[..., 10], weight_entropy=r[..., 11],
         done=r[..., 7] > 0.5,
     )
+    # keys returned unchanged on purpose — see simulate_fused: the stream is
+    # (seed, absolute step)-indexed, so chaining/resume continues it exactly.
     final = SimState(
         step=states0.step + jnp.sum(~rec.done, axis=0).astype(jnp.int32),
         q=q[-1], dq=dq[-1],

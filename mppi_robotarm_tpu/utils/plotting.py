@@ -23,8 +23,13 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
-def plot_results(rec, ref_path, sim_dt: float = 0.003):
-    """Reference Figure 1 + Figure 2 from a SimRecord (run.py:120-173)."""
+def plot_results(rec, ref_path):
+    """Reference Figure 1 + Figure 2 from a SimRecord (run.py:120-173).
+
+    The x axis is the raw step index labelled 'Time(s)' — that IS the
+    reference's behaviour (run.py:71 fills ``t_rec[k] = k``, a step count,
+    under the 'Time(s)' xlabel), kept for figure parity.
+    """
     q = np.asarray(rec.q)
     u = np.asarray(rec.u)
     ee = np.asarray(rec.ee)
@@ -34,8 +39,13 @@ def plot_results(rec, ref_path, sim_dt: float = 0.003):
     # Note: the reference's θ subplots plot rq_rec as the 'reference' curve,
     # but run.py:64 fills rq_rec with q itself, so the two curves coincide —
     # we plot the single q curve.
-    rx = ref[1:n + 1, 0]
-    ry = ref[1:n + 1, 1]
+    # A user-supplied ref path may be shorter than the run: draw the
+    # reference curves only over the rows that exist instead of crashing
+    # matplotlib after the (expensive) simulation completed.
+    m = min(n, ref.shape[0] - 1)
+    rx = ref[1:m + 1, 0]
+    ry = ref[1:m + 1, 1]
+    tr = t[:m]
 
     fig1, axes = plt.subplots(2, 2, figsize=(11, 7))
     axes[0, 0].plot(t, 180 / np.pi * q[:, 0], "k", linewidth=1.2)
@@ -46,11 +56,11 @@ def plot_results(rec, ref_path, sim_dt: float = 0.003):
     axes[0, 1].set_title("Theta 2 Input & Output")
     axes[0, 1].set_xlabel("Time(s)"); axes[0, 1].set_ylabel("Theta (Deg)")
     axes[0, 1].grid(True)
-    axes[1, 0].plot(t, ee[:, 0], "k", t, rx, "--b", linewidth=1.2)
+    axes[1, 0].plot(t, ee[:, 0], "k", tr, rx, "--b", linewidth=1.2)
     axes[1, 0].set_title("X(end point) Input & Output")
     axes[1, 0].set_xlabel("Time(s)"); axes[1, 0].set_ylabel("X (m)")
     axes[1, 0].legend(["X output", "X input"]); axes[1, 0].grid(True)
-    axes[1, 1].plot(t, ee[:, 1], "k", t, ry, "--b", linewidth=1.2)
+    axes[1, 1].plot(t, ee[:, 1], "k", tr, ry, "--b", linewidth=1.2)
     axes[1, 1].set_title("Y(end point) Input & Output")
     axes[1, 1].set_xlabel("Time(s)"); axes[1, 1].set_ylabel("Y (m)")
     axes[1, 1].legend(["Y output", "Y input"]); axes[1, 1].grid(True)

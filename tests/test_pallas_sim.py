@@ -209,3 +209,41 @@ def test_simulate_fused_batch_wrapper(ref_path, rng):
         np.testing.assert_allclose(np.asarray(rec.q[-1, b]), recs[-1][0],
                                    atol=1e-4)
         assert int(final.mppi.wp_idx[b]) == recs[-1][3]
+
+
+def test_fused_chunked_continues_full(ref_path, rng):
+    """Chaining simulate_fused from the returned state equals one long fused
+    run: records concatenate exactly and ref_xy rows stay step-aligned
+    (regression: the fused drivers ignored state0.step, so resumed runs
+    replayed ref rows — and, in PRNG mode, the noise stream — from step 0).
+    Injected noise isolates the state/step plumbing; the PRNG-stream
+    continuation itself is exercised on chip by tools/tpu_validate.py."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    steps = 6
+    eps = (rng.normal(size=(steps, 128, 8, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+
+    import mppi_robotarm_tpu.ops.pallas_sim as ps
+    orig = ps.pallas_sim_run
+    ps.pallas_sim_run = lambda *a, **kw: orig(*a, **{**kw, "interpret": True})
+    try:
+        s0 = m.init_sim(cfg, SIM, jax.random.PRNGKey(3))
+        _, rec_full = m.simulate_fused(ARM, cfg, SIM, ref, s0, steps,
+                                       eps_per_step=eps)
+
+        state = m.init_sim(cfg, SIM, jax.random.PRNGKey(3))
+        parts = []
+        for lo, hi in ((0, 3), (3, 6)):
+            state, rec = m.simulate_fused(ARM, cfg, SIM, ref, state, hi - lo,
+                                          eps_per_step=eps[lo:hi])
+            parts.append(rec)
+    finally:
+        ps.pallas_sim_run = orig
+    assert int(state.step) == steps
+    rec_chunk = jax.tree.map(
+        lambda *xs: jnp.concatenate(xs, 0), *parts)
+    for f in rec_full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_chunk, f)),
+            np.asarray(getattr(rec_full, f)), err_msg=f)

@@ -162,3 +162,52 @@ def test_solver_health_metrics_in_record(ref_path):
     assert ess.shape == (10,) and ent.shape == (10,)
     assert np.all((ess >= 1.0) & (ess <= cfg.num_samples + 1e-3))
     assert np.all((ent >= -1e-6) & (ent <= np.log(cfg.num_samples) + 1e-3))
+
+
+def test_chunked_run_matches_full(ref_path):
+    """Two chunked simulate() calls (the CLI's --checkpoint-every path)
+    concatenate to the uninterrupted run bitwise — INCLUDING the step-aligned
+    ref_xy rows (regression: scan-local ref indexing desynced resumed
+    records from the reference's global run.py:65-66 row k)."""
+    import dataclasses as dc
+    cfg = dc.replace(MPPIConfig(), num_samples=64, horizon=8)
+    ref_j = jnp.asarray(ref_path, jnp.float32)
+
+    s_full = init_sim(cfg, SIM, jax.random.PRNGKey(7))
+    _, rec_full = simulate(ARM, cfg, SIM, ref_j, s_full, 16)
+
+    state = init_sim(cfg, SIM, jax.random.PRNGKey(7))
+    parts = []
+    for _ in range(2):
+        state, rec = simulate(ARM, cfg, SIM, ref_j, state, 8)
+        parts.append(rec)
+    rec_chunk = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+    assert int(state.step) == 16
+    for f in rec_full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_chunk, f)),
+            np.asarray(getattr(rec_full, f)), err_msg=f)
+
+
+def test_chunked_batch_matches_full(ref_path):
+    """Scenario-batched chunked runs stay step-aligned per scenario too."""
+    import dataclasses as dc
+    from mppi_robotarm_tpu.sim.loop import init_sim_batch, simulate_batch
+
+    cfg = dc.replace(MPPIConfig(), num_samples=64, horizon=8)
+    ref_j = jnp.asarray(ref_path, jnp.float32)
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(3))
+
+    s_full = init_sim_batch(cfg, SIM, keys)
+    _, rec_full = simulate_batch(ARM, cfg, SIM, ref_j, s_full, 12)
+
+    states = init_sim_batch(cfg, SIM, keys)
+    parts = []
+    for _ in range(2):
+        states, rec = simulate_batch(ARM, cfg, SIM, ref_j, states, 6)
+        parts.append(rec)
+    rec_chunk = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+    for f in rec_full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_chunk, f)),
+            np.asarray(getattr(rec_full, f)), err_msg=f)

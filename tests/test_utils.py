@@ -164,3 +164,18 @@ def test_orbax_checkpoint_roundtrip(ref_path, tmp_path):
         np.asarray(jax.random.key_data(restored.key)),
         np.asarray(jax.random.key_data(state.key)))
     assert int(restored.step) == int(state.step)
+
+
+def test_plot_results_short_ref_path(ref_path):
+    """A ref path shorter than the run must not crash the figures after the
+    (expensive) simulation completed — the reference curves simply stop at
+    the last available row (regression: unguarded ref[1:n+1] slice)."""
+    ref = jnp.asarray(ref_path)
+    s0 = init_sim(CFG, SIM, jax.random.PRNGKey(0), dtype=jnp.float64)
+    _, rec = simulate(ARM, CFG, SIM, ref, s0, 8)
+    from mppi_robotarm_tpu.utils.plotting import plot_results
+    short = np.asarray(ref_path)[:5]          # 5 rows < 8 recorded steps
+    fig1, fig2 = plot_results(rec, short)
+    assert len(fig1.axes) == 4 and len(fig2.axes) == 2
+    import matplotlib.pyplot as plt
+    plt.close("all")

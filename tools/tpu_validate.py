@@ -95,6 +95,29 @@ def main():
           f"std={e.std(axis=0)} (want ~[4.472 4.472]) "
           f"{'OK' if det and abs(e.mean()) < 0.1 else 'FAIL'}")
 
+    # 2b. fused-loop PRNG stream continuation: chaining simulate_fused from
+    # the returned state must CONTINUE the (seed, absolute-step)-indexed
+    # noise stream — bitwise equal to one uninterrupted fused run
+    # (CPU tests cover the plumbing with injected eps; only real hardware
+    # exercises the in-kernel PRNG path).
+    from mppi_robotarm_tpu.config import SimConfig
+    from mppi_robotarm_tpu.sim.loop import init_sim, simulate_fused
+    simc = SimConfig()
+    cfg_f = dataclasses.replace(MPPIConfig(), num_samples=1024, horizon=50)
+    s0 = init_sim(cfg_f, simc, jax.random.PRNGKey(11))
+    _, rec_full = simulate_fused(arm, cfg_f, simc, ref_path, s0, 20)
+    state = init_sim(cfg_f, simc, jax.random.PRNGKey(11))
+    parts = []
+    for _ in range(2):
+        state, rec = simulate_fused(arm, cfg_f, simc, ref_path, state, 10)
+        parts.append(rec)
+    rec_chunk = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+    cont = all(np.array_equal(np.asarray(getattr(rec_chunk, f)),
+                              np.asarray(getattr(rec_full, f)))
+               for f in rec_full._fields)
+    print(f"2b. fused chunked==full (PRNG continuation): {cont} "
+          f"{'OK' if cont else 'FAIL'}")
+
     # 3. latency sweep
     for kk, hh in [(1024, 50), (8192, 50), (65536, 50)]:
         c = dataclasses.replace(MPPIConfig(), num_samples=kk, horizon=hh)
