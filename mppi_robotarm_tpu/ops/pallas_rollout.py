@@ -110,32 +110,67 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                    cfg: MPPIConfig, window_len: int, unroll: bool = False):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
-    Rolled argmin over the W=30 window with first-win tie-breaking
-    (strict ``<``), matching control.py:208-215.  A ``fori_loop`` keeps the
-    kernel graph small (compile time) — the loop body is pure VPU work.
+    Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
+    matching control.py:208-215.  Unrolled mode reduces by TOURNAMENT TREE
+    (keep-left-on-tie, i.e. the right candidate wins only on strictly
+    smaller d — identical selection to the sequential first-win scan) so the
+    compare-select dependency chain is log2(W) deep instead of W: at
+    K ≤ 1024 the tile is a single vreg and the rollout is latency-bound, so
+    serial depth — not op count — sets the kernel's speed.  Rolled mode
+    (``fori_loop``, linear chain) is kept for small-compile-time contexts.
     """
     x = cfg.l1 * jnp.cos(q1) + cfg.l2 * jnp.cos(q1 + q2)
     y = cfg.l1 * jnp.sin(q1) + cfg.l2 * jnp.sin(q1 + q2)
     inf = jnp.float32(np.inf)
     zero = jnp.zeros(x.shape, jnp.float32)
 
-    def body(j, c):
-        best_d, b0, b1, b2, b3 = c
-        dx = x - win_ref[j, 0]
-        dy = y - win_ref[j, 1]
-        d = (dx * dx + dy * dy) * cfg.dist_scale
-        d = jnp.where(j.astype(jnp.float32) < nvalid, d, inf)
-        better = d < best_d
-        return (jnp.where(better, d, best_d),
-                jnp.where(better, win_ref[j, 0], b0),
-                jnp.where(better, win_ref[j, 1], b1),
-                jnp.where(better, win_ref[j, 2], b2),
-                jnp.where(better, win_ref[j, 3], b3))
+    if unroll:
+        # leaves: (d_j, waypoint values) — d computations are mutually
+        # independent, so they pipeline while the tree reduces
+        def leaf(j):
+            dx = x - win_ref[j, 0]
+            dy = y - win_ref[j, 1]
+            d = (dx * dx + dy * dy) * cfg.dist_scale
+            d = jnp.where(jnp.float32(j) < nvalid, d, inf)
+            return (d, win_ref[j, 0], win_ref[j, 1],
+                    win_ref[j, 2], win_ref[j, 3])
 
-    _, b0, b1, b2, b3 = jax.lax.fori_loop(
-        0, window_len, body, (jnp.full(x.shape, inf, jnp.float32),
-                              zero, zero, zero, zero),
-        unroll=window_len if unroll else 1)
+        def merge(l, r):
+            better = r[0] < l[0]          # strict: left wins ties
+            return tuple(jnp.where(better, rv, lv)
+                         for lv, rv in zip(l, r))
+
+        nodes = [leaf(j) for j in range(window_len)]
+        while len(nodes) > 1:
+            nxt = [merge(nodes[i], nodes[i + 1])
+                   for i in range(0, len(nodes) - 1, 2)]
+            if len(nodes) % 2:
+                nxt.append(nodes[-1])
+            nodes = nxt
+        best_d, b0, b1, b2, b3 = nodes[0]
+        # all-invalid window: the sequential scan leaves the zero init values
+        sel = best_d < inf
+        b0 = jnp.where(sel, b0, zero)
+        b1 = jnp.where(sel, b1, zero)
+        b2 = jnp.where(sel, b2, zero)
+        b3 = jnp.where(sel, b3, zero)
+    else:
+        def body(j, c):
+            best_d, b0, b1, b2, b3 = c
+            dx = x - win_ref[j, 0]
+            dy = y - win_ref[j, 1]
+            d = (dx * dx + dy * dy) * cfg.dist_scale
+            d = jnp.where(j.astype(jnp.float32) < nvalid, d, inf)
+            better = d < best_d
+            return (jnp.where(better, d, best_d),
+                    jnp.where(better, win_ref[j, 0], b0),
+                    jnp.where(better, win_ref[j, 1], b1),
+                    jnp.where(better, win_ref[j, 2], b2),
+                    jnp.where(better, win_ref[j, 3], b3))
+
+        _, b0, b1, b2, b3 = jax.lax.fori_loop(
+            0, window_len, body, (jnp.full(x.shape, inf, jnp.float32),
+                                  zero, zero, zero, zero))
     return (w0 * (x - b0) ** 2 + w1 * (y - b1) ** 2
             + w2 * (dq1 - b2) ** 2 + w3 * (dq2 - b3) ** 2) * cfg.cost_scale
 

@@ -269,3 +269,62 @@ def test_seed_space_beyond_24_bits(ref_path):
     assert not np.array_equal(outs[0], outs[1]), (
         "seeds 2^24+1 and 2^24+2 produced identical noise — seed space "
         "collapsed (float32 smuggling regression)")
+
+
+@pytest.mark.parametrize("k,t", [(128, 6), (256, 17)])
+def test_unroll_variants_equal(ref_path, rng, k, t):
+    """Tree-unrolled window argmin (log-depth tournament, keep-left ties)
+    select the same waypoints as the rolled linear scan.  Equality is
+    near-ulp rather than bitwise: XLA's FMA-contraction choices differ
+    between the two expression structures (and across the ``unroll_t``
+    horizon-loop variants), which can flip a marginal tie or perturb the
+    chaotic rollout at ulp level — benign, and the semantically meaningful
+    parity (kernel vs XLA path vs float64 oracle vs the executed reference)
+    is gated bitwise/tight elsewhere in this file and in
+    test_golden_reference.py."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=k, horizon=t)
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(k, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+
+    def run(unroll_t, unroll_w):
+        w_eps, s, _ = pallas_solve_core(
+            ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+            eps=jnp.asarray(eps), interpret=True,
+            unroll_t=unroll_t, unroll_w=unroll_w)
+        return np.asarray(w_eps), np.asarray(s)
+
+    for unroll_t in (False, True):
+        rolled = run(unroll_t, False)
+        tree = run(unroll_t, True)
+        np.testing.assert_allclose(tree[1], rolled[1], rtol=3e-7)
+        np.testing.assert_allclose(tree[0], rolled[0], rtol=3e-7, atol=1e-6)
+    # across the horizon-unroll axis the chaotic rollout amplifies the
+    # contraction differences further: tight but looser than ulp
+    np.testing.assert_allclose(run(True, True)[1], run(False, True)[1],
+                               rtol=1e-5, atol=5e-2)
+
+
+def test_unroll_variants_truncated_window(ref_path, rng):
+    """Same equivalence when the window is truncated at the path end
+    (nvalid < W) — exercises the invalid-row +inf masking in both argmin
+    forms, including the tree's all-invalid fallback handling."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=5)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(128, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    n = ref_path.shape[0]
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), n - 4,
+                                 cfg.search_idx_len)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    assert float(nvalid) < cfg.search_idx_len
+    outs = []
+    for unroll_w in (False, True):
+        w_eps, s, _ = pallas_solve_core(
+            ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+            eps=jnp.asarray(eps), interpret=True, unroll_w=unroll_w)
+        outs.append((np.asarray(w_eps), np.asarray(s)))
+    np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=3e-7)
+    np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=3e-7, atol=1e-6)
