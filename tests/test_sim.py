@@ -15,10 +15,15 @@ SIM = SimConfig()
 N_STEPS = 20
 
 
-def test_closed_loop_parity_f64(ref_path, rng):
+def test_closed_loop_parity_f64(ref_path):
     """20 closed-loop steps with injected noise match the oracle loop
     (run.py:48-71 semantics incl. the dt vs 2dt mismatch, Q2)."""
-    eps_list = [rng.normal(size=(CFG.num_samples, CFG.horizon, 2))
+    # Dedicated generator (NOT the session-scoped rng fixture): the chaotic
+    # loop amplifies f64 summation-order noise by ~x1.5/step, so the step-14+
+    # tolerances below only hold for a fixed noise realisation.  Drawing from
+    # the shared fixture made the stream depend on which tests ran earlier.
+    gen = np.random.default_rng(0)
+    eps_list = [gen.normal(size=(CFG.num_samples, CFG.horizon, 2))
                 * np.sqrt(20.0) for _ in range(N_STEPS)]
     oracle = OracleMPPI(ref_path)
     recs_exp = oracle_closed_loop(oracle, SIM.q0, SIM.dq0, SIM.dt, N_STEPS,
