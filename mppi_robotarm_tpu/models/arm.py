@@ -87,6 +87,33 @@ def arm_step(q1, q2, dq1, dq2, u1, u2, dt, p: ArmParams):
     return q1n, q2n, dq1n, dq2n
 
 
+def arm_step_fblin(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
+    """The reference's `_F1` variant (control.py:265-295, dead code, C15):
+    one semi-implicit Euler step where the input v is a commanded
+    ACCELERATION, pre-compensated by feedback linearization with gravity
+    zeroed.
+
+    The reference computes u = M·v + C·dq + G then ddq = M⁻¹(u − C·dq − G)
+    with g1 = g2 = 0 (control.py:280-284) — the two cancel analytically, so
+    ddq == v exactly and the step is a pure double integrator.  We compose
+    the same two operations from the shared building blocks (so the
+    cancellation happens through the real M/C arithmetic, like the
+    reference) rather than shortcutting to ddq = v.
+
+    Never called by the closed loop — provided for API completeness; the
+    reference never calls `_F1` either (SURVEY.md C15).
+    """
+    import dataclasses as _dc
+    p0 = _dc.replace(p, g=0.0)
+    u1, u2 = feedback_linearization(q1, q2, dq1, dq2, v1, v2, p0)
+    ddq1, ddq2 = arm_ddq(q1, q2, dq1, dq2, u1, u2, p0)
+    dq1n = dq1 + ddq1 * dt
+    dq2n = dq2 + ddq2 * dt
+    q1n = q1 + dq1n * dt
+    q2n = q2 + dq2n * dt
+    return q1n, q2n, dq1n, dq2n
+
+
 def fk_ee(q1, q2, l1, l2):
     """End-effector position (x2, y2). Reference: utils.py:35-36 /
     control.py:178-179 (the cost FK hardcodes l1=l2=1, control.py:55-56)."""

@@ -113,3 +113,18 @@ def test_pd_outer_loop():
     np.testing.assert_allclose(v, [0.0 - 20 * 0.5 - 100 * 0.1,
                                    0.0 - 20 * 0.1 - 100 * (-0.1)],
                                rtol=1e-12)
+
+
+def test_arm_step_fblin_is_double_integrator():
+    """The `_F1` variant (control.py:265-295, C15): feedback linearization
+    with zeroed gravity composed with the zero-gravity dynamics cancels
+    analytically, so the step is a pure double integrator ddq == v."""
+    gen = np.random.default_rng(9)
+    q, dq, v = gen.normal(size=(3, 2))
+    dt = 0.006
+    q1n, q2n, dq1n, dq2n = arm_mod.arm_step_fblin(
+        *map(jnp.asarray, (q[0], q[1], dq[0], dq[1], v[0], v[1])), dt, ARM)
+    dq_exp = dq + v * dt
+    q_exp = q + dq_exp * dt
+    np.testing.assert_allclose([dq1n, dq2n], dq_exp, rtol=1e-10)
+    np.testing.assert_allclose([q1n, q2n], q_exp, rtol=1e-10)
