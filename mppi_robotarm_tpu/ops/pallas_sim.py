@@ -24,11 +24,23 @@ cannot interleave with a sequential multi-tile grid because every step needs
 all tiles' softmax contributions.  Larger K uses the per-step kernel
 (ops/pallas_rollout.py).
 
-Batching: the kernel takes a grid over SCENARIOS — program b runs scenario
-b's ENTIRE closed loop with per-scenario SMEM/VMEM blocks (state, warm
-start, records), so a B-scenario fleet (BASELINE config 4) executes with
-zero per-step XLA glue: one kernel launch for the whole B × n_steps run.
-The single-scenario entry point is the B = 1 case of the same kernel.
+Batching: the kernel takes a grid over SCENARIO GROUPS — program i runs
+``group`` scenarios' ENTIRE closed loops side by side with per-scenario
+SMEM/VMEM blocks (state, warm start, records), so a B-scenario fleet
+(BASELINE config 4) executes with zero per-step XLA glue: one kernel launch
+for the whole B × n_steps run.  The single-scenario entry point is the
+B = 1, group = 1 case of the same kernel.
+
+The group axis interleaves ``group`` independent scenarios in one
+instruction stream so the VLIW scheduler can overlap their chains.  To keep
+the whole step body a single schedulable region the per-scenario Q6 freeze
+is BRANCHLESS: every scenario computes every step and a frozen scenario's
+state/control/record writes are masked with its done flag instead of
+`pl.when` (regions would serialize the chains the group axis tries to
+overlap).  Per-scenario results are bitwise-identical to the group=1 kernel
+(same ops, same order, per scenario — verified in tests/test_pallas_sim.py).
+Measured outcome (see pallas_sim_run_batched): the step is issue-bound, so
+grouping buys only ~5-7% — kept as an opt-in knob, default 1.
 """
 
 from __future__ import annotations
@@ -57,28 +69,46 @@ _REC_LANES = 12  # [q1,q2,dq1,dq2,u1,u2,wp_idx,done,cost_min,cost_mean,
                  #  ess,weight_entropy]
 
 
+class _WinView:
+    """Scenario g's (W, 4) view of the (G, W, 4) SMEM window scratch.
+
+    NOT ``win_ref.at[g]``: Mosaic lowers that to a memref_slice and rejects
+    the sub-128 minor dimension ("slice shape along dimension 2 must be
+    aligned to tiling (128)").  Plain scalar loads at (g, j, k) lower fine,
+    and scalar indexing is all :func:`_tracking_cost` needs.
+    """
+
+    def __init__(self, ref, g: int):
+        self._ref = ref
+        self._g = g
+
+    def __getitem__(self, idx):
+        j, k = idx
+        return self._ref[self._g, j, k]
+
+
 def _sim_kernel(
-    scalars_ref,   # SMEM (1,7): [q1,q2,dq1,dq2, wp_idx0, n_ref, k_actual]
-                   # — this scenario's block of the (B,1,7) array
-    seed_ref,      # SMEM (1,2) int32 [seed, step0] (dedicated integer operand
-                   # so the full 2^31 seed space survives; float32 would
-                   # clamp it to ~2^24).  The PRNG folds (seed, step0 + step):
-                   # step0 is the scenario's absolute step count at entry, so
-                   # a checkpoint-resumed or chained run CONTINUES the exact
-                   # noise stream of an uninterrupted run instead of
-                   # replaying it from step 0.
+    scalars_ref,   # SMEM (G,1,7): [q1,q2,dq1,dq2, wp_idx0, n_ref, k_actual]
+                   # — this group's block of the (B,1,7) array
+    seed_ref,      # SMEM (G,1,2) int32 [seed, step0] (dedicated integer
+                   # operand so the full 2^31 seed space survives; float32
+                   # would clamp it to ~2^24).  The PRNG folds
+                   # (seed, step0 + step): step0 is the scenario's absolute
+                   # step count at entry, so a checkpoint-resumed or chained
+                   # run CONTINUES the exact noise stream of an uninterrupted
+                   # run instead of replaying it from step 0.
     chol_ref,      # SMEM (3,): [L11, L21, L22] (shared across scenarios)
     sinv_ref,      # SMEM (4,): Σ⁻¹ row-major (shared)
-    u0_ref,        # VMEM (2T, 128) initial warm start, dim-major lane-dup rows
+    u0_ref,        # VMEM (G, 2T, 128) initial warm start, dim-major rows
     ref_ref,       # VMEM (Npad, 4) reference path (shared)
-    eps_in_ref,    # VMEM (N*2T, sub, 128) injected noise or (1,1,128) dummy
-    rec_ref,       # VMEM (N, 128) per-step records (lanes per _REC_LANES)
-    ufin_ref,      # VMEM (2T, 128) final warm-started control rows
-    u_rows,        # VMEM (2T, 128) scratch: current control rows (dim-major)
-    eps_buf,       # VMEM (2T, sub, 128) scratch
-    pad_buf,       # VMEM (T + fw - 1, 128) scratch: reflect-padded Σwε rows
-    win_ref,       # SMEM (W, 4) scratch: current waypoint window
-    st_ref,        # SMEM (8,) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f), -, -]
+    eps_in_ref,    # VMEM (G, N*2T, sub, 128) injected noise or (G,1,1,128)
+    rec_ref,       # VMEM (G, N, 128) per-step records (lanes per _REC_LANES)
+    ufin_ref,      # VMEM (G, 2T, 128) final warm-started control rows
+    u_rows,        # VMEM (G, 2T, 128) scratch: current control rows
+    eps_buf,       # VMEM (G, 2T, sub, 128) scratch
+    pad_buf,       # VMEM (G, T + fw - 1, 128) scratch: reflect-padded Σwε
+    win_ref,       # SMEM (G, W, 4) scratch: current waypoint windows
+    st_ref,        # SMEM (G, 8) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f)]
     *,
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -87,9 +117,11 @@ def _sim_kernel(
     tile: int,
     use_prng: bool,
     unroll_t: bool = False,
+    group: int = 1,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
+    G = group
     sub = tile // _LANES
     lam = jnp.float32(cfg.lam)
     gamma = jnp.float32(cfg.gamma)
@@ -98,18 +130,21 @@ def _sim_kernel(
     stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
     term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
     dist = (jnp.float32(sim.disturbance[0]), jnp.float32(sim.disturbance[1]))
-    n_ref = scalars_ref[0, 5]
-    k_actual = scalars_ref[0, 6]
+    n_ref = scalars_ref[0, 0, 5]            # shared: same ref path for all
+    k_actual = scalars_ref[0, 0, 6]
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    inf = jnp.float32(np.inf)
+    f32 = jnp.float32
 
-    # init scratch state (runs per grid program, i.e. per scenario)
-    for i in range(4):
-        st_ref[i] = scalars_ref[0, i]
-    st_ref[4] = scalars_ref[0, 4]       # wp_idx as f32
-    st_ref[5] = jnp.float32(0.0)        # done flag
+    # init scratch state (runs per grid program, i.e. per scenario group)
+    for g in range(G):
+        for i in range(4):
+            st_ref[g, i] = scalars_ref[g, 0, i]
+        st_ref[g, 4] = scalars_ref[g, 0, 4]   # wp_idx as f32
+        st_ref[g, 5] = f32(0.0)               # done flag
     u_rows[...] = u0_ref[...]
 
-    def refresh_window(widx):
+    def refresh_window(g, widx):
         """Copy ref rows [widx .. widx+W) into SMEM, clamped (truncation).
 
         Loads each (1,4) row as a vector and extracts lanes at STATIC
@@ -119,243 +154,253 @@ def _sim_kernel(
         def cp(j, _):
             src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
             row = ref_ref[pl.ds(src, 1)]          # (1, 4) vector load
-            win_ref[j, 0] = row[0, 0]
-            win_ref[j, 1] = row[0, 1]
-            win_ref[j, 2] = row[0, 2]
-            win_ref[j, 3] = row[0, 3]
+            win_ref[g, j, 0] = row[0, 0]
+            win_ref[g, j, 1] = row[0, 1]
+            win_ref[g, j, 2] = row[0, 2]
+            win_ref[g, j, 3] = row[0, 3]
             return 0
         jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll_t else 1)
 
     def step_body(step, _):
-        done = st_ref[5] > 0.5
-
-        @pl.when(jnp.logical_not(done))
-        def _run():
-            q1o = st_ref[0]
-            q2o = st_ref[1]
-            widx = st_ref[4].astype(jnp.int32)
-
-            # ---- waypoint-index advance (control.py:75, Q5) -------------
+        # ---- per-scenario waypoint-index advance (control.py:75, Q5) ----
+        # Branchless Q6: ``frozen`` masks every state/control/record write
+        # below instead of gating the solve in a pl.when region.
+        frozen = [None] * G      # scalar bool per scenario
+        wp_lane = [None] * G     # f32 wp_idx for this step's record row
+        nvalid = [None] * G
+        old_st = [None] * G      # (q1,q2,dq1,dq2) before the plant step
+        for g in range(G):
+            was_done = st_ref[g, 5] > 0.5
+            q1o = st_ref[g, 0]
+            q2o = st_ref[g, 1]
+            old_st[g] = (st_ref[g, 0], st_ref[g, 1],
+                         st_ref[g, 2], st_ref[g, 3])
+            widx0 = st_ref[g, 4].astype(jnp.int32)
             x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
             y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
-            refresh_window(widx)
+            refresh_window(g, widx0)
 
-            def am(j, carry):
+            def am(j, carry, g=g, x=x, y=y, widx0=widx0):
                 bd, bj = carry
-                dx = x - win_ref[j, 0]
-                dy = y - win_ref[j, 1]
-                d = (dx * dx + dy * dy) * jnp.float32(cfg.dist_scale)
-                valid = (widx + j) < n_ref.astype(jnp.int32)
-                d = jnp.where(valid, d, jnp.float32(np.inf))
+                dx = x - win_ref[g, j, 0]
+                dy = y - win_ref[g, j, 1]
+                d = (dx * dx + dy * dy) * f32(cfg.dist_scale)
+                valid = (widx0 + j) < n_ref.astype(jnp.int32)
+                d = jnp.where(valid, d, inf)
                 better = d < bd
                 return (jnp.where(better, d, bd), jnp.where(better, j, bj))
 
-            _, off = jax.lax.fori_loop(0, W, am,
-                                       (jnp.float32(np.inf), jnp.int32(0)),
+            _, off = jax.lax.fori_loop(0, W, am, (inf, jnp.int32(0)),
                                        unroll=W if unroll_t else 1)
-            widx = widx + off
-            path_end = widx >= n_ref.astype(jnp.int32) - 1
+            wn = widx0 + off
+            path_end = wn >= n_ref.astype(jnp.int32) - 1
+            frz = jnp.logical_or(was_done, path_end)
             # freeze semantics match sim_step: once path_end fires, wp_idx
             # keeps its pre-advance value (the scan driver's `keep`)
-            st_ref[4] = jnp.where(path_end, st_ref[4],
-                                  widx.astype(jnp.float32))
-            st_ref[5] = jnp.where(path_end, jnp.float32(1.0), jnp.float32(0.0))
+            st_ref[g, 4] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+            st_ref[g, 5] = jnp.where(frz, f32(1.0), f32(0.0))
+            widx_eff = jnp.where(frz, widx0, wn)
+            refresh_window(g, widx_eff)
+            frozen[g] = frz
+            wp_lane[g] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+            nvalid[g] = jnp.minimum(f32(W),
+                                    (n_ref - widx_eff.astype(f32)))
 
-            @pl.when(jnp.logical_not(path_end))
-            def _solve_and_step():
-                refresh_window(widx)
-                nvalid = jnp.minimum(
-                    jnp.float32(W),
-                    (n_ref - widx.astype(jnp.float32)))
+        # ---- noise (per-scenario streams; reseed keeps the stream of the
+        # group=1 kernel exactly) ------------------------------------------
+        if use_prng:
+            l11 = chol_ref[0]
+            l21 = chol_ref[1]
+            l22 = chol_ref[2]
+            for g in range(G):
+                pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
 
-                # ---- noise ------------------------------------------------
-                if use_prng:
-                    pltpu.prng_seed(seed_ref[0, 0], seed_ref[0, 1] + step)
-                    l11 = chol_ref[0]
-                    l21 = chol_ref[1]
-                    l22 = chol_ref[2]
-
-                    def gen(t, _):
-                        z1, z2 = _box_muller((sub, _LANES))
-                        eps_buf[pl.ds(2 * t, 1)] = (l11 * z1)[None]
-                        eps_buf[pl.ds(2 * t + 1, 1)] = (l21 * z1
-                                                        + l22 * z2)[None]
-                        return 0
-
-                    jax.lax.fori_loop(0, T, gen, 0,
-                                      unroll=T if unroll_t else 1)
-                else:
-                    eps_buf[...] = eps_in_ref[pl.ds(step * 2 * T, 2 * T)]
-
-                # ---- K-sample rollout + cost ------------------------------
-                shape = (sub, _LANES)
-                q1 = jnp.full(shape, st_ref[0], jnp.float32)
-                q2 = jnp.full(shape, st_ref[1], jnp.float32)
-                dq1 = jnp.full(shape, st_ref[2], jnp.float32)
-                dq2 = jnp.full(shape, st_ref[3], jnp.float32)
-                s = jnp.zeros(shape, jnp.float32)
-                k_idx = (jax.lax.broadcasted_iota(jnp.int32, shape, 0)
-                         * _LANES
-                         + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
-                         ).astype(jnp.float32)
-                exploit = k_idx < jnp.float32(
-                    (1.0 - cfg.exploration) * cfg.num_samples)
-                si0 = sinv_ref[0]
-                si1 = sinv_ref[1]
-                si2 = sinv_ref[2]
-                si3 = sinv_ref[3]
-
-                def roll(t, carry):
-                    q1, q2, dq1, dq2, s = carry
-                    e1 = eps_buf[pl.ds(2 * t, 1)][0]
-                    e2 = eps_buf[pl.ds(2 * t + 1, 1)][0]
-                    u1r = u_rows[pl.ds(t, 1)]            # (1,128) lane-dup
-                    u2r = u_rows[pl.ds(T + t, 1)]
-                    v1 = jnp.where(exploit, u1r + e1, e1)
-                    v2 = jnp.where(exploit, u2r + e2, e2)
-                    if cfg.u_clamp is not None:
-                        v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
-                        v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
-                    q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2,
-                                                      v1, v2, dt_c, arm)
-                    s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
-                                           *stage_w, cfg=cfg, window_len=W,
-                                           unroll=True)
-                    su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
-                    su2 = si2 * u1r + si3 * u2r
-                    s = s + gamma * (v1 * su1 + v2 * su2)
-                    return q1, q2, dq1, dq2, s
-
-                q1, q2, dq1, dq2, s = jax.lax.fori_loop(
-                    0, T, roll, (q1, q2, dq1, dq2, s),
-                    unroll=T if unroll_t else 1)
-                s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
-                                       *term_w, cfg=cfg, window_len=W,
-                                       unroll=True)
-                s = jnp.where(k_idx < k_actual, s, jnp.float32(np.inf))
-
-                # ---- softmax + Σwε + median + u update --------------------
-                m = jnp.min(s)
-                e = jnp.exp(-(s - m) / lam)
-                eta = jnp.sum(e)
-                cost_min = m
-                cost_mean = (jnp.sum(jnp.where(k_idx < k_actual, s, 0.0))
-                             / k_actual)
-                inv_eta = 1.0 / eta
-                # solver-health metrics (SURVEY.md §5.5): ESS = η²/Σe² and
-                # weight entropy H = ln η + Σ e·(S−m) / (η·λ); padded
-                # samples carry e = 0 but S = +inf, so mask the product
-                ess = (eta * eta) / jnp.sum(e * e)
-                ent = (jnp.log(eta)
-                       + jnp.sum(jnp.where(k_idx < k_actual,
-                                           e * (s - m), 0.0))
-                       * inv_eta / lam)
-
-                fw = cfg.filter_window
-                left = fw // 2
-                right = fw - left - 1
-                rank = fw // 2
-                for c in range(2):
-                    base = c * T
-
-                    # Σwε rows into the padded scratch interior (rolled loop
-                    # keeps the per-step graph small for Mosaic compile)
-                    def fill(t, _):
-                        v = jnp.sum(
-                            e * eps_buf[pl.ds(2 * t + c, 1)][0]) * inv_eta
-                        pad_buf[pl.ds(left + t, 1)] = jnp.full(
-                            (1, _LANES), v)
-                        return 0
-
-                    jax.lax.fori_loop(0, T, fill, 0,
-                                      unroll=T if unroll_t else 1)
-
-                    # scipy 'reflect' edges (single fold; fw <= 2T enforced)
-                    def lpad(i, _):
-                        pad_buf[pl.ds(left - 1 - i, 1)] = \
-                            pad_buf[pl.ds(left + i, 1)]
-                        return 0
-
-                    def rpad(i, _):
-                        pad_buf[pl.ds(left + T + i, 1)] = \
-                            pad_buf[pl.ds(left + T - 1 - i, 1)]
-                        return 0
-
-                    jax.lax.fori_loop(0, left, lpad, 0)
-                    jax.lax.fori_loop(0, right, rpad, 0)
-
-                    # odd-even transposition sort over the fw shifted views,
-                    # vectorised across all T output rows at once (slice the
-                    # loaded VALUE, not the ref — compile-friendlier)
-                    pb = pad_buf[...]
-                    windows = [jax.lax.slice_in_dim(pb, k, k + T)
-                               for k in range(fw)]
-                    for rnd in range(fw):
-                        for i in range(rnd % 2, fw - 1, 2):
-                            lo = jnp.minimum(windows[i], windows[i + 1])
-                            hi = jnp.maximum(windows[i], windows[i + 1])
-                            windows[i], windows[i + 1] = lo, hi
-                    med = windows[rank]                  # (T,128)
-                    u_rows[pl.ds(base, T)] = u_rows[pl.ds(base, T)] + med
-
-                # ---- warm-start shift (control.py:148-149, Q3) ------------
-                # The reference shifts the ALIASED u_prev in place BEFORE
-                # ``return u[0]`` (control.py:152), so the control applied to
-                # the plant is the SHIFTED first element (= u_new[1]).  Shift
-                # first, then feed u_rows[0] to the plant.
-                def shift(t, _):
-                    u_rows[pl.ds(t, 1)] = u_rows[pl.ds(t + 1, 1)]
-                    u_rows[pl.ds(T + t, 1)] = u_rows[pl.ds(T + t + 1, 1)]
+                def gen(t, _, g=g):
+                    z1, z2 = _box_muller((sub, _LANES))
+                    eps_buf[g, pl.ds(2 * t, 1)] = (l11 * z1)[None]
+                    eps_buf[g, pl.ds(2 * t + 1, 1)] = (l21 * z1
+                                                       + l22 * z2)[None]
                     return 0
 
-                jax.lax.fori_loop(0, T - 1, shift, 0,
-                                  unroll=(T - 1) if unroll_t else 1)
+                jax.lax.fori_loop(0, T, gen, 0,
+                                  unroll=T if unroll_t else 1)
+        else:
+            for g in range(G):
+                eps_buf[g, pl.ds(0, 2 * T)] = \
+                    eps_in_ref[g, pl.ds(step * 2 * T, 2 * T)]
 
-                # ---- plant step (run.py:53-55, Q2) ------------------------
-                # same semi-implicit update as the rollout model, just at the
-                # plant dt and with the disturbance torque — one shared
-                # implementation so a dynamics fix can never drift between
-                # the controller model and the plant inside this kernel
-                u0_1 = u_rows[0, 0]
-                u0_2 = u_rows[T, 0]
-                nq1, nq2, ndq1, ndq2 = _dynamics_step(
-                    st_ref[0], st_ref[1], st_ref[2], st_ref[3],
-                    u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
-                st_ref[0] = nq1
-                st_ref[1] = nq2
-                st_ref[2] = ndq1
-                st_ref[3] = ndq2
+        # ---- K-sample rollout + cost, all scenarios in ONE loop ----------
+        # (independent per-scenario chains inside each t iteration are what
+        # the VLIW scheduler overlaps)
+        shape = (sub, _LANES)
+        s_zero = jnp.zeros(shape, jnp.float32)
+        k_idx = (jax.lax.broadcasted_iota(jnp.int32, shape, 0) * _LANES
+                 + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+                 ).astype(jnp.float32)
+        exploit = k_idx < f32((1.0 - cfg.exploration) * cfg.num_samples)
+        si0 = sinv_ref[0]
+        si1 = sinv_ref[1]
+        si2 = sinv_ref[2]
+        si3 = sinv_ref[3]
 
-                # ---- record row -------------------------------------------
-                vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
-                        u0_1, u0_2, widx.astype(jnp.float32),
-                        jnp.float32(0.0), cost_min, cost_mean, ess, ent)
-                row = jnp.zeros((1, _LANES), jnp.float32)
-                for i, v in enumerate(vals):
-                    row = jnp.where(lane_iota == i, v, row)
-                rec_ref[pl.ds(step, 1)] = row
+        init = []
+        for g in range(G):
+            init += [jnp.full(shape, st_ref[g, 0], jnp.float32),
+                     jnp.full(shape, st_ref[g, 1], jnp.float32),
+                     jnp.full(shape, st_ref[g, 2], jnp.float32),
+                     jnp.full(shape, st_ref[g, 3], jnp.float32),
+                     s_zero]
 
-            @pl.when(path_end)
-            def _mark_end():
-                # record the FROZEN state (matches simulate()'s keep
-                # semantics); u/cost lanes are zero after path end
-                vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
-                        jnp.float32(0.0), jnp.float32(0.0), st_ref[4],
-                        jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
-                row = jnp.zeros((1, _LANES), jnp.float32)
-                for i, v in enumerate(vals):
-                    row = jnp.where(lane_iota == i, v, row)
-                rec_ref[pl.ds(step, 1)] = row
+        def roll(t, carry):
+            out = []
+            for g in range(G):
+                q1, q2, dq1, dq2, s = carry[5 * g:5 * g + 5]
+                e1 = eps_buf[g, pl.ds(2 * t, 1)][0]
+                e2 = eps_buf[g, pl.ds(2 * t + 1, 1)][0]
+                u1r = u_rows[g, pl.ds(t, 1)]         # (1,128) lane-dup
+                u2r = u_rows[g, pl.ds(T + t, 1)]
+                v1 = jnp.where(exploit, u1r + e1, e1)
+                v2 = jnp.where(exploit, u2r + e2, e2)
+                if cfg.u_clamp is not None:
+                    v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+                    v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+                q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2,
+                                                  v1, v2, dt_c, arm)
+                s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
+                                       nvalid[g], *stage_w, cfg=cfg,
+                                       window_len=W, unroll=True)
+                su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
+                su2 = si2 * u1r + si3 * u2r
+                s = s + gamma * (v1 * su1 + v2 * su2)
+                out += [q1, q2, dq1, dq2, s]
+            return tuple(out)
 
-        @pl.when(done)
-        def _frozen():
-            vals = (st_ref[0], st_ref[1], st_ref[2], st_ref[3],
-                    jnp.float32(0.0), jnp.float32(0.0), st_ref[4],
-                    jnp.float32(1.0), jnp.float32(0.0), jnp.float32(0.0))
+        carry = jax.lax.fori_loop(0, T, roll, tuple(init),
+                                  unroll=T if unroll_t else 1)
+
+        # ---- per-scenario softmax + Σwε + median + u update + plant ------
+        for g in range(G):
+            q1, q2, dq1, dq2, s = carry[5 * g:5 * g + 5]
+            frz = frozen[g]
+            s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
+                                   nvalid[g], *term_w, cfg=cfg,
+                                   window_len=W, unroll=True)
+            s = jnp.where(k_idx < k_actual, s, inf)
+
+            m = jnp.min(s)
+            e = jnp.exp(-(s - m) / lam)
+            eta = jnp.sum(e)
+            cost_min = m
+            cost_mean = (jnp.sum(jnp.where(k_idx < k_actual, s, 0.0))
+                         / k_actual)
+            inv_eta = 1.0 / eta
+            # solver-health metrics (SURVEY.md §5.5): ESS = η²/Σe² and
+            # weight entropy H = ln η + Σ e·(S−m) / (η·λ); padded
+            # samples carry e = 0 but S = +inf, so mask the product
+            ess = (eta * eta) / jnp.sum(e * e)
+            ent = (jnp.log(eta)
+                   + jnp.sum(jnp.where(k_idx < k_actual, e * (s - m), 0.0))
+                   * inv_eta / lam)
+
+            fw = cfg.filter_window
+            left = fw // 2
+            right = fw - left - 1
+            rank = fw // 2
+            for c in range(2):
+                base = c * T
+
+                # Σwε rows into the padded scratch interior
+                def fill(t, _, g=g, c=c, e=e, inv_eta=inv_eta):
+                    v = jnp.sum(
+                        e * eps_buf[g, pl.ds(2 * t + c, 1)][0]) * inv_eta
+                    pad_buf[g, pl.ds(left + t, 1)] = jnp.full(
+                        (1, _LANES), v)
+                    return 0
+
+                jax.lax.fori_loop(0, T, fill, 0,
+                                  unroll=T if unroll_t else 1)
+
+                # scipy 'reflect' edges (single fold; fw <= 2T enforced)
+                def lpad(i, _, g=g):
+                    pad_buf[g, pl.ds(left - 1 - i, 1)] = \
+                        pad_buf[g, pl.ds(left + i, 1)]
+                    return 0
+
+                def rpad(i, _, g=g):
+                    pad_buf[g, pl.ds(left + T + i, 1)] = \
+                        pad_buf[g, pl.ds(left + T - 1 - i, 1)]
+                    return 0
+
+                jax.lax.fori_loop(0, left, lpad, 0)
+                jax.lax.fori_loop(0, right, rpad, 0)
+
+                # odd-even transposition sort over the fw shifted views,
+                # vectorised across all T output rows at once (slice the
+                # loaded VALUE, not the ref — compile-friendlier)
+                pb = pad_buf[g]
+                windows = [jax.lax.slice_in_dim(pb, k, k + T)
+                           for k in range(fw)]
+                for rnd in range(fw):
+                    for i in range(rnd % 2, fw - 1, 2):
+                        lo = jnp.minimum(windows[i], windows[i + 1])
+                        hi = jnp.maximum(windows[i], windows[i + 1])
+                        windows[i], windows[i + 1] = lo, hi
+                med = windows[rank]                  # (T,128)
+                cur = u_rows[g, pl.ds(base, T)]
+                u_rows[g, pl.ds(base, T)] = jnp.where(frz, cur, cur + med)
+
+            # ---- warm-start shift (control.py:148-149, Q3) ----------------
+            # The reference shifts the ALIASED u_prev in place BEFORE
+            # ``return u[0]`` (control.py:152), so the control applied to
+            # the plant is the SHIFTED first element (= u_new[1]).  Shift
+            # first, then feed u_rows[0] to the plant.  Masked when frozen.
+            def shift(t, _, g=g, frz=frz):
+                a = u_rows[g, pl.ds(t, 1)]
+                b = u_rows[g, pl.ds(t + 1, 1)]
+                u_rows[g, pl.ds(t, 1)] = jnp.where(frz, a, b)
+                a2 = u_rows[g, pl.ds(T + t, 1)]
+                b2 = u_rows[g, pl.ds(T + t + 1, 1)]
+                u_rows[g, pl.ds(T + t, 1)] = jnp.where(frz, a2, b2)
+                return 0
+
+            jax.lax.fori_loop(0, T - 1, shift, 0,
+                              unroll=(T - 1) if unroll_t else 1)
+
+            # ---- plant step (run.py:53-55, Q2) ----------------------------
+            # same semi-implicit update as the rollout model, just at the
+            # plant dt and with the disturbance torque — one shared
+            # implementation so a dynamics fix can never drift between
+            # the controller model and the plant inside this kernel
+            u0_1 = u_rows[g, 0, 0]
+            u0_2 = u_rows[g, T, 0]
+            oq1, oq2, odq1, odq2 = old_st[g]
+            nq1, nq2, ndq1, ndq2 = _dynamics_step(
+                oq1, oq2, odq1, odq2,
+                u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
+            nq1 = jnp.where(frz, oq1, nq1)
+            nq2 = jnp.where(frz, oq2, nq2)
+            ndq1 = jnp.where(frz, odq1, ndq1)
+            ndq2 = jnp.where(frz, odq2, ndq2)
+            st_ref[g, 0] = nq1
+            st_ref[g, 1] = nq2
+            st_ref[g, 2] = ndq1
+            st_ref[g, 3] = ndq2
+
+            # ---- record row (run vs frozen selected lane-wise) ------------
+            zero = f32(0.0)
+            vals = (nq1, nq2, ndq1, ndq2,
+                    jnp.where(frz, zero, u0_1),
+                    jnp.where(frz, zero, u0_2),
+                    wp_lane[g],
+                    jnp.where(frz, f32(1.0), zero),
+                    jnp.where(frz, zero, cost_min),
+                    jnp.where(frz, zero, cost_mean),
+                    jnp.where(frz, zero, ess),
+                    jnp.where(frz, zero, ent))
             row = jnp.zeros((1, _LANES), jnp.float32)
             for i, v in enumerate(vals):
                 row = jnp.where(lane_iota == i, v, row)
-            rec_ref[pl.ds(step, 1)] = row
+            rec_ref[g, pl.ds(step, 1)] = row
 
         return 0
 
@@ -380,14 +425,21 @@ def pallas_sim_run_batched(
     step0=None,                         # (B,) or () int32 absolute step at
                                         # entry — folded into the PRNG stream
                                         # so resumed runs continue, not replay
+    group: int = 1,                     # scenarios per grid program (ILP)
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
-    Grid (B,): program b executes scenario b's entire receding-horizon loop
-    (BASELINE config 4 with zero per-step XLA glue).  Grid programs run
-    sequentially on the core, so total work is B × the single-scenario
-    kernel, but the per-step dispatch/glue (~45 µs/step measured via
-    tools/tpu_bench_batch.py round 1) is gone entirely.
+    Grid (B/group,): program i executes ``group`` scenarios' entire
+    receding-horizon loops interleaved in one instruction stream (BASELINE
+    config 4 with zero per-step XLA glue).  Grid programs run sequentially
+    on the core.  Per-scenario results are bitwise-identical to group=1.
+
+    Measured (TPU v5e, B=32, K=128, T=30, unrolled): group=2 is +5% and
+    group=4 +7% over group=1, at 3x/11x the Mosaic compile time — the
+    per-scenario step is ISSUE-bound (op count), not latency-bound, so
+    instruction interleaving recovers little.  Default therefore stays 1;
+    the knob exists for long-lived fleets where a one-off compile buys a
+    few percent forever.
 
     Returns (records (B, n_steps, _REC_LANES) f32, u_final (B, T, 2)).
     """
@@ -399,6 +451,9 @@ def pallas_sim_run_batched(
             f"fused sim requires K (= {K}) to fit one kernel tile")
     sub = tile // _LANES
     use_prng = eps is None
+    if B % group:
+        raise ValueError(f"B={B} is not divisible by group={group}")
+    G = group
 
     chol = np.linalg.cholesky(np.asarray(cfg.sigma, np.float64))
     chol_flat = jnp.asarray([chol[0, 0], chol[1, 0], chol[1, 1]], jnp.float32)
@@ -422,7 +477,7 @@ def pallas_sim_run_batched(
 
     if use_prng:
         eps_in = jnp.zeros((B, 1, 1, _LANES), jnp.float32)
-        eps_block = (None, 1, 1, _LANES)
+        eps_block = (G, 1, 1, _LANES)
     else:
         e = eps.astype(jnp.float32)
         if e.shape[2] != tile:
@@ -432,32 +487,32 @@ def pallas_sim_run_batched(
         eps_in = (e.reshape(B, n_steps, sub, _LANES, T, 2)
                   .transpose(0, 1, 4, 5, 2, 3)
                   .reshape(B, n_steps * 2 * T, sub, _LANES))
-        eps_block = (None, n_steps * 2 * T, sub, _LANES)
+        eps_block = (G, n_steps * 2 * T, sub, _LANES)
 
     kernel = functools.partial(
         _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
-        use_prng=use_prng, unroll_t=unroll_t)
+        use_prng=use_prng, unroll_t=unroll_t, group=G)
 
     rec, ufin = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((None, 1, 7), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 1, 7), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # scalars f32
-            pl.BlockSpec((None, 1, 2), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 1, 2), lambda b: (b, 0, 0),
                          memory_space=pltpu.SMEM),       # seed,step0 i32
             pl.BlockSpec(memory_space=pltpu.SMEM),       # chol (shared)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # sigma^-1 (shared)
-            pl.BlockSpec((None, 2 * T, _LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # warm start
             pl.BlockSpec(memory_space=pltpu.VMEM),       # ref path (shared)
             pl.BlockSpec(eps_block, lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),       # injected noise
         ],
         out_specs=[
-            pl.BlockSpec((None, n_steps, _LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, n_steps, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 2 * T, _LANES), lambda b: (b, 0, 0),
+            pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -465,12 +520,12 @@ def pallas_sim_run_batched(
             jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2 * T, _LANES), jnp.float32),       # u_rows
-            pltpu.VMEM((2 * T, sub, _LANES), jnp.float32),  # eps_buf
-            pltpu.VMEM((T + cfg.filter_window - 1, _LANES),
-                       jnp.float32),                        # pad_buf
-            pltpu.SMEM((cfg.search_idx_len, 4), jnp.float32),  # window
-            pltpu.SMEM((8,), jnp.float32),                  # state
+            pltpu.VMEM((G, 2 * T, _LANES), jnp.float32),       # u_rows
+            pltpu.VMEM((G, 2 * T, sub, _LANES), jnp.float32),  # eps_buf
+            pltpu.VMEM((G, T + cfg.filter_window - 1, _LANES),
+                       jnp.float32),                           # pad_buf
+            pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),  # windows
+            pltpu.SMEM((G, 8), jnp.float32),                   # state
         ],
         interpret=interpret,
     )(scalars, seed_i32, chol_flat, sinv, u0_rows,
@@ -509,5 +564,6 @@ def pallas_sim_run(
         n_steps,
         eps=None if eps is None else jnp.asarray(eps)[None],
         interpret=interpret, unroll_t=unroll_t,
-        step0=None if step0 is None else jnp.asarray(step0).reshape(1))
+        step0=None if step0 is None else jnp.asarray(step0).reshape(1),
+        group=1)
     return rec[0], ufin[0]

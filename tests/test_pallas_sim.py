@@ -178,6 +178,52 @@ def test_batched_fused_matches_single(ref_path, rng):
         np.testing.assert_array_equal(np.asarray(ufinb[b]), np.asarray(ufin1))
 
 
+def test_grouped_fused_matches_group1(ref_path, rng):
+    """group=G (scenario-interleaved ILP) is bitwise equal to group=1 —
+    including when some scenarios in a group freeze at path end while
+    others keep running (the branchless masking path)."""
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    # scenarios 0/2 track normally; 1/3 start AT the last waypoint
+    # (wp_idx = n-1), which trips the Q6 path-end freeze on their first
+    # step — a guaranteed frozen/active mix inside one group
+    ref = jnp.asarray(ref_path[:120], jnp.float32)
+    B, steps = 4, 20
+    eps = (rng.normal(size=(B, steps, 128, 6, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    q0 = (jnp.tile(jnp.asarray([SIM.q0], jnp.float32), (B, 1))
+          + 0.005 * jnp.arange(B)[:, None])
+    dq0 = jnp.zeros((B, 2), jnp.float32)
+    up = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 6, 1))
+    wp0 = jnp.asarray([0, 119, 0, 119], jnp.int32)
+    args = (ARM, cfg, SIM, ref, q0, dq0, up, wp0,
+            jnp.zeros(B, jnp.int32), steps)
+    rec1, ufin1 = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                         interpret=True, group=1)
+    rec1 = np.asarray(rec1)
+    assert rec1[:, -1, 7].tolist() == [0.0, 1.0, 0.0, 1.0], \
+        "fixture must mix frozen and active scenarios in the group"
+    for g in (2, 4):
+        recg, ufing = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                             interpret=True, group=g)
+        np.testing.assert_array_equal(np.asarray(recg), rec1,
+                                      err_msg=f"records group={g}")
+        np.testing.assert_array_equal(np.asarray(ufing), np.asarray(ufin1),
+                                      err_msg=f"u_final group={g}")
+
+
+def test_grouped_fused_validates_divisibility(ref_path):
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    ref = jnp.asarray(ref_path[:120], jnp.float32)
+    B = 3
+    with pytest.raises(ValueError, match="divisible"):
+        pallas_sim_run_batched(
+            ARM, cfg, SIM, ref, jnp.zeros((B, 2)), jnp.zeros((B, 2)),
+            jnp.zeros((B, 6, 2)), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, jnp.int32), 2, interpret=True, group=2)
+
+
 def test_simulate_fused_batch_wrapper(ref_path, rng):
     """The public batched wrapper matches per-scenario simulate_python on the
     same injected noise (record conventions of simulate_batch)."""
