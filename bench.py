@@ -40,12 +40,15 @@ def main() -> None:
     )
 
     arm, cfg, sim = benchmark_preset()          # K=1024, H=50
-    ref_path = jnp.asarray(synth_circle_path(4000))
-    # Long on-device chain: the axon-tunnel environment adds ~26 ms of fixed
-    # host/dispatch latency per program invocation (measured,
-    # tools/tpu_overhead.py); 1000 steps amortise it to <3% so the number
-    # reflects steady-state device throughput.
-    steps = 1000
+    ref_path = jnp.asarray(synth_circle_path(8000))
+    # Long on-device chain: the axon-tunnel environment adds ~25-27 ms of
+    # FIXED host/dispatch latency per program invocation (measured by the
+    # two-length fit below and tools/tpu_overhead.py).  At 1000 steps that
+    # constant is ~2/3 of the wall time of the fused kernel (~11 us/step on
+    # device), so the chain is 4000 steps: overhead amortises to ~35%->
+    # ~12% and the headline reflects steady-state throughput.  The stderr
+    # breakdown separates the true device rate from the tunnel constant.
+    steps = 4000
 
     state0 = init_sim(cfg, sim, jax.random.PRNGKey(0))
     # Fastest first: the fully-fused closed-loop kernel (whole loop in one
@@ -85,6 +88,28 @@ def main() -> None:
     best_backend = max(results, key=lambda b: results[b][0])
     solves_per_s, out = results[best_backend]
     print(f"# best backend: {best_backend}", file=sys.stderr)
+
+    # Decompose wall time into device rate + fixed dispatch constant with a
+    # second, shorter chain of the winning backend (two-point fit).
+    if best_backend == "pallas-fused" and not first_only:
+        try:
+            short = 1000
+            runner = run_fused
+            t_s = []
+            jax.block_until_ready(runner(short))
+            for _ in range(3):
+                t0 = time.perf_counter()
+                jax.block_until_ready(runner(short))
+                t_s.append(time.perf_counter() - t0)
+            t_long = steps / solves_per_s
+            slope = (t_long - min(t_s)) / (steps - short)
+            fixed = t_long - slope * steps
+            print(f"# device-only: {1e6 * slope:.2f} us/step "
+                  f"({1 / slope:,.0f} solves/s); fixed dispatch "
+                  f"{fixed * 1e3:.1f} ms/launch", file=sys.stderr)
+        except Exception as e:
+            print(f"# slope fit skipped: {type(e).__name__}: {e}",
+                  file=sys.stderr)
 
     # Sanity: the run must actually track (guards against a degenerate bench).
     rec = out[1]

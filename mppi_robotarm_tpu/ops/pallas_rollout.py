@@ -84,16 +84,21 @@ def _box_muller(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
-def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
-    """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)."""
-    c2 = jnp.cos(q2)
+def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
+                        c1, c2, s2, c12):
+    """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)
+    with the trig of the CURRENT state supplied by the caller.
+
+    The M/C/G terms need cos(q1), cos(q2), sin(q2), cos(q1+q2); callers that
+    already hold sin/cos of q1 and q1+q2 (e.g. the fused loop's tracking-cost
+    FK of the previous iteration) can derive c2/s2 via the angle-difference
+    identities instead of paying two more transcendental expansions.
+    """
     m11 = (p.m1 * p.lc1 ** 2 + p.l1
            + p.m2 * (p.l1 ** 2 + p.lc2 ** 2 + 2.0 * p.l1 * p.lc2 * c2) + p.l2)
     m12 = p.m2 * p.l1 * p.lc2 * c2 + p.m2 * p.lc2 ** 2 + p.l2
     m22 = p.m2 * p.lc2 ** 2 + p.l2
-    h = p.m2 * p.l1 * p.lc2 * jnp.sin(q2)
-    c1 = jnp.cos(q1)
-    c12 = jnp.cos(q1 + q2)
+    h = p.m2 * p.l1 * p.lc2 * s2
     g1 = p.m1 * p.lc1 * p.g * c1 + p.m2 * p.g * (p.lc2 * c12 + p.l1 * c1)
     g2 = p.m2 * p.lc2 * p.g * c12
     r1 = v1 - (-h * dq2 * dq1 + (-h * dq1 - h * dq2) * dq2) - g1
@@ -106,8 +111,16 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
     return q1 + dq1 * dt, q2 + dq2 * dt, dq1, dq2
 
 
+def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
+    """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)."""
+    return _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p,
+                               jnp.cos(q1), jnp.cos(q2), jnp.sin(q2),
+                               jnp.cos(q1 + q2))
+
+
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
-                   cfg: MPPIConfig, window_len: int, unroll: bool = False):
+                   cfg: MPPIConfig, window_len: int, unroll: bool = False,
+                   xy=None):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
@@ -119,8 +132,11 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
     serial depth — not op count — sets the kernel's speed.  Rolled mode
     (``fori_loop``, linear chain) is kept for small-compile-time contexts.
     """
-    x = cfg.l1 * jnp.cos(q1) + cfg.l2 * jnp.cos(q1 + q2)
-    y = cfg.l1 * jnp.sin(q1) + cfg.l2 * jnp.sin(q1 + q2)
+    if xy is None:
+        x = cfg.l1 * jnp.cos(q1) + cfg.l2 * jnp.cos(q1 + q2)
+        y = cfg.l1 * jnp.sin(q1) + cfg.l2 * jnp.sin(q1 + q2)
+    else:                       # caller supplies the EE FK (fused loop
+        x, y = xy               # reuses its sin/cos for the next dynamics)
     inf = jnp.float32(np.inf)
     zero = jnp.zeros(x.shape, jnp.float32)
 

@@ -59,6 +59,7 @@ from .pallas_rollout import (
     _LANES,
     _box_muller,
     _dynamics_step,
+    _dynamics_step_trig,
     _pick_tile,
     _tracking_cost,
 )
@@ -101,14 +102,17 @@ def _sim_kernel(
     sinv_ref,      # SMEM (4,): Σ⁻¹ row-major (shared)
     u0_ref,        # VMEM (G, 2T, 128) initial warm start, dim-major rows
     ref_ref,       # VMEM (Npad, 4) reference path (shared)
-    eps_in_ref,    # VMEM (G, N*2T, sub, 128) injected noise or (G,1,1,128)
+    eps_in_ref,    # HBM/ANY (B, N*2T, sub, 128) injected noise, DMA'd one
+                   # step-slice at a time (the full stream is ~400 MB at
+                   # n_steps=1000, K=1024 — far beyond VMEM); or a dummy
+                   # (B,1,1,128) in PRNG mode
     rec_ref,       # VMEM (G, N, 128) per-step records (lanes per _REC_LANES)
     ufin_ref,      # VMEM (G, 2T, 128) final warm-started control rows
     u_rows,        # VMEM (G, 2T, 128) scratch: current control rows
-    eps_buf,       # VMEM (G, 2T, sub, 128) scratch
-    pad_buf,       # VMEM (G, T + fw - 1, 128) scratch: reflect-padded Σwε
+    eps_buf,       # VMEM (G, 2T, sub, 128) scratch, DIM-MAJOR rows (c·T+t)
     win_ref,       # SMEM (G, W, 4) scratch: current waypoint windows
     st_ref,        # SMEM (G, 8) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f)]
+    eps_sem,       # DMA semaphore for the injected-noise step copies
     *,
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -132,6 +136,7 @@ def _sim_kernel(
     dist = (jnp.float32(sim.disturbance[0]), jnp.float32(sim.disturbance[1]))
     n_ref = scalars_ref[0, 0, 5]            # shared: same ref path for all
     k_actual = scalars_ref[0, 0, 6]
+    scen0 = pl.program_id(0) * G            # first scenario of this group
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
     inf = jnp.float32(np.inf)
     f32 = jnp.float32
@@ -213,21 +218,29 @@ def _sim_kernel(
             l21 = chol_ref[1]
             l22 = chol_ref[2]
             for g in range(G):
+                # ONE batched Box-Muller for the whole horizon: T small
+                # (sub,128) draws serialize their transcendental chains,
+                # one (T·sub,128) draw pipelines them across 2·T
+                # independent vregs.  Stream indexing stays
+                # (seed, step0 + step) per scenario, so checkpoint/chain
+                # continuation is unaffected.
                 pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
-
-                def gen(t, _, g=g):
-                    z1, z2 = _box_muller((sub, _LANES))
-                    eps_buf[g, pl.ds(2 * t, 1)] = (l11 * z1)[None]
-                    eps_buf[g, pl.ds(2 * t + 1, 1)] = (l21 * z1
-                                                       + l22 * z2)[None]
-                    return 0
-
-                jax.lax.fori_loop(0, T, gen, 0,
-                                  unroll=T if unroll_t else 1)
+                z1, z2 = _box_muller((T * sub, _LANES))
+                eps_buf[g, pl.ds(0, T)] = \
+                    (l11 * z1).reshape(T, sub, _LANES)
+                eps_buf[g, pl.ds(T, T)] = \
+                    (l21 * z1 + l22 * z2).reshape(T, sub, _LANES)
         else:
+            # stream this step's slice in from HBM (synchronous copy: the
+            # injected path is the parity/replay seam, not the perf path,
+            # and ~400 KB at K=1024 costs well under a microsecond)
             for g in range(G):
-                eps_buf[g, pl.ds(0, 2 * T)] = \
-                    eps_in_ref[g, pl.ds(step * 2 * T, 2 * T)]
+                cp = pltpu.make_async_copy(
+                    eps_in_ref.at[scen0 + g, pl.ds(step * 2 * T, 2 * T)],
+                    eps_buf.at[g],
+                    eps_sem)
+                cp.start()
+                cp.wait()
 
         # ---- K-sample rollout + cost, all scenarios in ONE loop ----------
         # (independent per-scenario chains inside each t iteration are what
@@ -243,20 +256,34 @@ def _sim_kernel(
         si2 = sinv_ref[2]
         si3 = sinv_ref[3]
 
+        # carry per scenario: state + running cost + sin/cos of q1 and
+        # q1+q2 of the CURRENT state.  The tracking cost needs the EE FK
+        # (those four transcendentals) anyway; carrying them lets the NEXT
+        # dynamics step derive cos/sin(q2) by the angle-difference
+        # identities instead of two more transcendental expansions —
+        # 8 → 4 sin/cos per horizon step on the hot chain.
         init = []
         for g in range(G):
+            c1_0 = jnp.cos(st_ref[g, 0])
+            s1_0 = jnp.sin(st_ref[g, 0])
+            q12_0 = st_ref[g, 0] + st_ref[g, 1]
             init += [jnp.full(shape, st_ref[g, 0], jnp.float32),
                      jnp.full(shape, st_ref[g, 1], jnp.float32),
                      jnp.full(shape, st_ref[g, 2], jnp.float32),
                      jnp.full(shape, st_ref[g, 3], jnp.float32),
-                     s_zero]
+                     s_zero,
+                     jnp.full(shape, c1_0, jnp.float32),
+                     jnp.full(shape, s1_0, jnp.float32),
+                     jnp.full(shape, jnp.cos(q12_0), jnp.float32),
+                     jnp.full(shape, jnp.sin(q12_0), jnp.float32)]
 
         def roll(t, carry):
             out = []
             for g in range(G):
-                q1, q2, dq1, dq2, s = carry[5 * g:5 * g + 5]
-                e1 = eps_buf[g, pl.ds(2 * t, 1)][0]
-                e2 = eps_buf[g, pl.ds(2 * t + 1, 1)][0]
+                (q1, q2, dq1, dq2, s,
+                 c1, s1v, c12, s12) = carry[9 * g:9 * g + 9]
+                e1 = eps_buf[g, pl.ds(t, 1)][0]
+                e2 = eps_buf[g, pl.ds(T + t, 1)][0]
                 u1r = u_rows[g, pl.ds(t, 1)]         # (1,128) lane-dup
                 u2r = u_rows[g, pl.ds(T + t, 1)]
                 v1 = jnp.where(exploit, u1r + e1, e1)
@@ -264,15 +291,25 @@ def _sim_kernel(
                 if cfg.u_clamp is not None:
                     v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
                     v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
-                q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2,
-                                                  v1, v2, dt_c, arm)
+                # q2 = (q1+q2) − q1 ⇒ angle-difference identities
+                c2 = c12 * c1 + s12 * s1v
+                s2v = s12 * c1 - c12 * s1v
+                q1, q2, dq1, dq2 = _dynamics_step_trig(
+                    q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12)
+                c1 = jnp.cos(q1)
+                s1v = jnp.sin(q1)
+                q12 = q1 + q2
+                c12 = jnp.cos(q12)
+                s12 = jnp.sin(q12)
+                x = cfg.l1 * c1 + cfg.l2 * c12
+                y = cfg.l1 * s1v + cfg.l2 * s12
                 s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                        nvalid[g], *stage_w, cfg=cfg,
-                                       window_len=W, unroll=True)
+                                       window_len=W, unroll=True, xy=(x, y))
                 su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
                 su2 = si2 * u1r + si3 * u2r
                 s = s + gamma * (v1 * su1 + v2 * su2)
-                out += [q1, q2, dq1, dq2, s]
+                out += [q1, q2, dq1, dq2, s, c1, s1v, c12, s12]
             return tuple(out)
 
         carry = jax.lax.fori_loop(0, T, roll, tuple(init),
@@ -280,11 +317,14 @@ def _sim_kernel(
 
         # ---- per-scenario softmax + Σwε + median + u update + plant ------
         for g in range(G):
-            q1, q2, dq1, dq2, s = carry[5 * g:5 * g + 5]
+            (q1, q2, dq1, dq2, s,
+             c1, s1v, c12, s12) = carry[9 * g:9 * g + 9]
             frz = frozen[g]
+            xT = cfg.l1 * c1 + cfg.l2 * c12
+            yT = cfg.l1 * s1v + cfg.l2 * s12
             s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                    nvalid[g], *term_w, cfg=cfg,
-                                   window_len=W, unroll=True)
+                                   window_len=W, unroll=True, xy=(xT, yT))
             s = jnp.where(k_idx < k_actual, s, inf)
 
             m = jnp.min(s)
@@ -306,38 +346,31 @@ def _sim_kernel(
             left = fw // 2
             right = fw - left - 1
             rank = fw // 2
+
+            # ---- Σwε, all 2T rows in one fused reduction ------------------
+            # (was a 2T-iteration loop of per-row (sub,128) reductions; the
+            # step is issue-bound, so one wide op chain beats 2T narrow ones)
+            ew = e[None] * eps_buf[g]                    # (2T, sub, 128)
+            ws = jnp.sum(ew, axis=1)                     # (2T, 128)
+            weps = jnp.broadcast_to(
+                jnp.sum(ws, axis=1, keepdims=True) * inv_eta,
+                (2 * T, _LANES))                         # lane-dup rows
+
             for c in range(2):
                 base = c * T
+                interior = jax.lax.slice_in_dim(weps, base, base + T)
 
-                # Σwε rows into the padded scratch interior
-                def fill(t, _, g=g, c=c, e=e, inv_eta=inv_eta):
-                    v = jnp.sum(
-                        e * eps_buf[g, pl.ds(2 * t + c, 1)][0]) * inv_eta
-                    pad_buf[g, pl.ds(left + t, 1)] = jnp.full(
-                        (1, _LANES), v)
-                    return 0
-
-                jax.lax.fori_loop(0, T, fill, 0,
-                                  unroll=T if unroll_t else 1)
-
-                # scipy 'reflect' edges (single fold; fw <= 2T enforced)
-                def lpad(i, _, g=g):
-                    pad_buf[g, pl.ds(left - 1 - i, 1)] = \
-                        pad_buf[g, pl.ds(left + i, 1)]
-                    return 0
-
-                def rpad(i, _, g=g):
-                    pad_buf[g, pl.ds(left + T + i, 1)] = \
-                        pad_buf[g, pl.ds(left + T - 1 - i, 1)]
-                    return 0
-
-                jax.lax.fori_loop(0, left, lpad, 0)
-                jax.lax.fori_loop(0, right, rpad, 0)
+                # scipy 'reflect' edges (single fold; fw <= 2T enforced),
+                # built as register values — no scratch round-trip
+                lrows = [jax.lax.slice_in_dim(interior, left - 1 - j,
+                                              left - j)
+                         for j in range(left)]
+                rrows = [jax.lax.slice_in_dim(interior, T - 1 - j, T - j)
+                         for j in range(right)]
+                pb = jnp.concatenate(lrows + [interior] + rrows, axis=0)
 
                 # odd-even transposition sort over the fw shifted views,
-                # vectorised across all T output rows at once (slice the
-                # loaded VALUE, not the ref — compile-friendlier)
-                pb = pad_buf[g]
+                # vectorised across all T output rows at once
                 windows = [jax.lax.slice_in_dim(pb, k, k + T)
                            for k in range(fw)]
                 for rnd in range(fw):
@@ -346,25 +379,18 @@ def _sim_kernel(
                         hi = jnp.maximum(windows[i], windows[i + 1])
                         windows[i], windows[i + 1] = lo, hi
                 med = windows[rank]                  # (T,128)
+                # ---- u update + warm-start shift fused ---------------------
+                # (control.py:126, 148-149, Q3): the reference shifts the
+                # ALIASED u_prev in place BEFORE ``return u[0]``
+                # (control.py:152), so the control applied to the plant is
+                # the SHIFTED first element (= u_new[1]).  Build
+                # shift(u + med) as one register value; masked when frozen.
                 cur = u_rows[g, pl.ds(base, T)]
-                u_rows[g, pl.ds(base, T)] = jnp.where(frz, cur, cur + med)
-
-            # ---- warm-start shift (control.py:148-149, Q3) ----------------
-            # The reference shifts the ALIASED u_prev in place BEFORE
-            # ``return u[0]`` (control.py:152), so the control applied to
-            # the plant is the SHIFTED first element (= u_new[1]).  Shift
-            # first, then feed u_rows[0] to the plant.  Masked when frozen.
-            def shift(t, _, g=g, frz=frz):
-                a = u_rows[g, pl.ds(t, 1)]
-                b = u_rows[g, pl.ds(t + 1, 1)]
-                u_rows[g, pl.ds(t, 1)] = jnp.where(frz, a, b)
-                a2 = u_rows[g, pl.ds(T + t, 1)]
-                b2 = u_rows[g, pl.ds(T + t + 1, 1)]
-                u_rows[g, pl.ds(T + t, 1)] = jnp.where(frz, a2, b2)
-                return 0
-
-            jax.lax.fori_loop(0, T - 1, shift, 0,
-                              unroll=(T - 1) if unroll_t else 1)
+                unew = cur + med
+                shifted = jnp.concatenate(
+                    [jax.lax.slice_in_dim(unew, 1, T),
+                     jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
+                u_rows[g, pl.ds(base, T)] = jnp.where(frz, cur, shifted)
 
             # ---- plant step (run.py:53-55, Q2) ----------------------------
             # same semi-implicit update as the rollout model, just at the
@@ -477,7 +503,6 @@ def pallas_sim_run_batched(
 
     if use_prng:
         eps_in = jnp.zeros((B, 1, 1, _LANES), jnp.float32)
-        eps_block = (G, 1, 1, _LANES)
     else:
         e = eps.astype(jnp.float32)
         if e.shape[2] != tile:
@@ -485,9 +510,8 @@ def pallas_sim_run_batched(
                 [e, jnp.zeros((B, n_steps, tile - e.shape[2], T, 2),
                               jnp.float32)], axis=2)
         eps_in = (e.reshape(B, n_steps, sub, _LANES, T, 2)
-                  .transpose(0, 1, 4, 5, 2, 3)
+                  .transpose(0, 1, 5, 4, 2, 3)   # dim-major rows c*T + t
                   .reshape(B, n_steps * 2 * T, sub, _LANES))
-        eps_block = (G, n_steps * 2 * T, sub, _LANES)
 
     kernel = functools.partial(
         _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
@@ -506,8 +530,9 @@ def pallas_sim_run_batched(
             pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),       # warm start
             pl.BlockSpec(memory_space=pltpu.VMEM),       # ref path (shared)
-            pl.BlockSpec(eps_block, lambda b: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),       # injected noise
+            pl.BlockSpec(memory_space=pl.ANY),           # injected noise:
+                         # stays in HBM; the kernel DMAs one step-slice per
+                         # step (the whole stream can be ~100x VMEM)
         ],
         out_specs=[
             pl.BlockSpec((G, n_steps, _LANES), lambda b: (b, 0, 0),
@@ -522,10 +547,9 @@ def pallas_sim_run_batched(
         scratch_shapes=[
             pltpu.VMEM((G, 2 * T, _LANES), jnp.float32),       # u_rows
             pltpu.VMEM((G, 2 * T, sub, _LANES), jnp.float32),  # eps_buf
-            pltpu.VMEM((G, T + cfg.filter_window - 1, _LANES),
-                       jnp.float32),                           # pad_buf
             pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),  # windows
             pltpu.SMEM((G, 8), jnp.float32),                   # state
+            pltpu.SemaphoreType.DMA,                           # eps copies
         ],
         interpret=interpret,
     )(scalars, seed_i32, chol_flat, sinv, u0_rows,

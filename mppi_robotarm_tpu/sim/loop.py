@@ -371,7 +371,7 @@ def simulate_fused(
 
 
 @partial(jax.jit,
-         static_argnames=("arm", "cfg", "sim", "num_steps"))
+         static_argnames=("arm", "cfg", "sim", "num_steps", "group"))
 def simulate_fused_batch(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -380,6 +380,9 @@ def simulate_fused_batch(
     states0: SimState,           # batched (init_sim_batch)
     num_steps: int,
     eps_per_step=None,           # optional (B, num_steps, K, T, 2)
+    group: int = 1,              # scenarios interleaved per kernel program
+                                 # (opt-in ~5-7% for long-lived fleets at a
+                                 # group-x compile cost; see pallas_sim)
 ):
     """B scenarios × the WHOLE closed loop in ONE kernel launch.
 
@@ -402,7 +405,7 @@ def simulate_fused_batch(
         arm, cfg, sim, ref_path, states0.q, states0.dq, states0.mppi.u_prev,
         states0.mppi.wp_idx, seeds, num_steps,
         eps=None if eps_per_step is None else jnp.asarray(eps_per_step),
-        unroll_t=cfg.horizon <= 64, step0=states0.step)
+        unroll_t=cfg.horizon <= 64, step0=states0.step, group=group)
     # rec_rows: (B, steps, lanes) -> SimRecord with (steps, B, ...) axes
     r = rec_rows.transpose(1, 0, 2)
     q = r[..., 0:2]
