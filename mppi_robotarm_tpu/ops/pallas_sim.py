@@ -434,6 +434,334 @@ def _sim_kernel(
     ufin_ref[...] = u_rows[...]
 
 
+class _VecWin:
+    """Per-leaf window constants as pre-stacked (S, 128) arrays.
+
+    Presents the ``win[j, k]`` indexing :func:`_tracking_cost` expects, but
+    each lookup returns a vector whose sublane rows hold the S stacked
+    scenarios' window values (see :func:`_sim_kernel_stacked`).
+    """
+
+    def __init__(self, vals):
+        self._vals = vals          # list of W tuples of 4 (S,128) arrays
+
+    def __getitem__(self, idx):
+        j, k = idx
+        return self._vals[j][k]
+
+
+def _sim_kernel_stacked(
+    scalars_ref,   # SMEM (S,1,7) — as _sim_kernel
+    seed_ref,      # SMEM (S,1,2) int32 — as _sim_kernel
+    chol_ref,      # SMEM (3,)
+    sinv_ref,      # SMEM (4,)
+    u0_ref,        # VMEM (2T, S, 128): warm start, scenario in SUBLANE dim
+    ref_ref,       # VMEM (Npad, 4) reference path (shared)
+    eps_in_ref,    # HBM/ANY (B/S, N*2T, S, 128) injected noise or dummy
+    rec_ref,       # VMEM (S, N, 128) per-step records (as _sim_kernel)
+    ufin_ref,      # VMEM (2T, S, 128) final control rows
+    u_rows,        # VMEM (2T, S, 128) scratch
+    eps_buf,       # VMEM (2T, S, 128) scratch, dim-major rows
+    stat_buf,      # VMEM (4, S, 128) scratch: [cost_min, cost_mean, ess, ent]
+    win_ref,       # SMEM (S, W, 4) scratch
+    st_ref,        # SMEM (S, 8) scratch
+    eps_sem,       # DMA semaphore
+    *,
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    n_steps: int,
+    tile: int,
+    use_prng: bool,
+    unroll_t: bool = False,
+    group: int = 1,
+):
+    """SUBLANE-STACKED variant of :func:`_sim_kernel` for K ≤ 128 fleets.
+
+    At K ≤ 128 a scenario's rollout arrays are (1, 128) — one eighth of an
+    f32 vreg — so every vector op in the interleaved kernel wastes 7/8 of
+    the datapath.  This kernel packs S ≤ 8 scenarios into the SUBLANE axis:
+    state, noise, controls, costs are (S, 128) with row g = scenario g, and
+    every vector op processes all S scenarios at the same cycle cost.  The
+    per-scenario softmax comes out free: row-wise (lane-axis, keepdims)
+    min/sum reductions ARE the per-scenario statistics.  Per-scenario
+    results are bitwise-identical to the group=1 interleaved kernel: the
+    stacked rows perform the same lane-width ops in the same order, the
+    PRNG draws the same (T, 128) stream per scenario, and the stacked
+    window/nvalid constants are exact row selects.
+
+    What stays per-scenario scalar work: waypoint-window refresh + frozen
+    argmin (Q5, SMEM scalar chains), the plant step, and record-row
+    assembly — the same per-step fixed cost as one interleaved scenario,
+    now amortised over S.
+    """
+    T = cfg.horizon
+    W = cfg.search_idx_len
+    S = group
+    lam = jnp.float32(cfg.lam)
+    gamma = jnp.float32(cfg.gamma)
+    dt_c = jnp.float32(cfg.delta_t)
+    dt_p = jnp.float32(sim.dt)
+    stage_w = tuple(jnp.float32(w) for w in cfg.stage_cost_weight)
+    term_w = tuple(jnp.float32(w) for w in cfg.terminal_cost_weight)
+    dist = (jnp.float32(sim.disturbance[0]), jnp.float32(sim.disturbance[1]))
+    n_ref = scalars_ref[0, 0, 5]
+    k_actual = scalars_ref[0, 0, 6]
+    pid = pl.program_id(0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, _LANES), 1)
+    inf = jnp.float32(np.inf)
+    f32 = jnp.float32
+    shape = (S, _LANES)
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    rowmask = [row_iota == g for g in range(S)]
+
+    def stackf(vals):
+        """S per-scenario scalars -> (S, 128) with row g = vals[g], exact."""
+        acc = jnp.full(shape, vals[0], jnp.float32)
+        for g in range(1, S):
+            acc = jnp.where(rowmask[g], vals[g], acc)
+        return acc
+
+    for g in range(S):
+        for i in range(4):
+            st_ref[g, i] = scalars_ref[g, 0, i]
+        st_ref[g, 4] = scalars_ref[g, 0, 4]
+        st_ref[g, 5] = f32(0.0)
+    u_rows[...] = u0_ref[...]
+
+    def refresh_window(g, widx):
+        def cp(j, _):
+            src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
+            row = ref_ref[pl.ds(src, 1)]
+            win_ref[g, j, 0] = row[0, 0]
+            win_ref[g, j, 1] = row[0, 1]
+            win_ref[g, j, 2] = row[0, 2]
+            win_ref[g, j, 3] = row[0, 3]
+            return 0
+        jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll_t else 1)
+
+    def step_body(step, _):
+        # ---- per-scenario scalar phase: identical to _sim_kernel ---------
+        frozen = [None] * S
+        wp_lane = [None] * S
+        nvalid = [None] * S
+        old_st = [None] * S
+        for g in range(S):
+            was_done = st_ref[g, 5] > 0.5
+            q1o = st_ref[g, 0]
+            q2o = st_ref[g, 1]
+            old_st[g] = (st_ref[g, 0], st_ref[g, 1],
+                         st_ref[g, 2], st_ref[g, 3])
+            widx0 = st_ref[g, 4].astype(jnp.int32)
+            x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
+            y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
+            refresh_window(g, widx0)
+
+            def am(j, carry, g=g, x=x, y=y, widx0=widx0):
+                bd, bj = carry
+                dx = x - win_ref[g, j, 0]
+                dy = y - win_ref[g, j, 1]
+                d = (dx * dx + dy * dy) * f32(cfg.dist_scale)
+                valid = (widx0 + j) < n_ref.astype(jnp.int32)
+                d = jnp.where(valid, d, inf)
+                better = d < bd
+                return (jnp.where(better, d, bd), jnp.where(better, j, bj))
+
+            _, off = jax.lax.fori_loop(0, W, am, (inf, jnp.int32(0)),
+                                       unroll=W if unroll_t else 1)
+            wn = widx0 + off
+            path_end = wn >= n_ref.astype(jnp.int32) - 1
+            frz = jnp.logical_or(was_done, path_end)
+            st_ref[g, 4] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+            st_ref[g, 5] = jnp.where(frz, f32(1.0), f32(0.0))
+            widx_eff = jnp.where(frz, widx0, wn)
+            refresh_window(g, widx_eff)
+            frozen[g] = frz
+            wp_lane[g] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+            nvalid[g] = jnp.minimum(f32(W),
+                                    (n_ref - widx_eff.astype(f32)))
+
+        # ---- stacked per-step constants ----------------------------------
+        nv_vec = stackf(nvalid)
+        # float 0/1 rows then compare — a bool (S,128) built by scalar
+        # selects lowers to an i1 vector truncation Mosaic rejects
+        frz_vec = stackf([jnp.where(frozen[g], f32(1.0), f32(0.0))
+                          for g in range(S)]) > 0.5
+        wv = [tuple(stackf([win_ref[g, j, k] for g in range(S)])
+                    for k in range(4))
+              for j in range(W)]
+        win = _VecWin(wv)
+
+        # ---- noise: same (T,128) stream per scenario, stacked rows -------
+        if use_prng:
+            l11 = chol_ref[0]
+            l21 = chol_ref[1]
+            l22 = chol_ref[2]
+            e1acc = jnp.zeros((T, S, _LANES), jnp.float32)
+            e2acc = jnp.zeros((T, S, _LANES), jnp.float32)
+            for g in range(S):
+                pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
+                z1, z2 = _box_muller((T, _LANES))
+                m3 = rowmask[g][None]
+                e1acc = jnp.where(m3, (l11 * z1)[:, None, :], e1acc)
+                e2acc = jnp.where(m3, (l21 * z1 + l22 * z2)[:, None, :],
+                                  e2acc)
+            eps_buf[pl.ds(0, T)] = e1acc
+            eps_buf[pl.ds(T, T)] = e2acc
+        else:
+            cp = pltpu.make_async_copy(
+                eps_in_ref.at[pid, pl.ds(step * 2 * T, 2 * T)],
+                eps_buf, eps_sem)
+            cp.start()
+            cp.wait()
+
+        # ---- rollout: ALL scenarios in every vector op --------------------
+        k_idx = jax.lax.broadcasted_iota(jnp.int32, shape, 1).astype(
+            jnp.float32)
+        exploit = k_idx < f32((1.0 - cfg.exploration) * cfg.num_samples)
+        si0 = sinv_ref[0]
+        si1 = sinv_ref[1]
+        si2 = sinv_ref[2]
+        si3 = sinv_ref[3]
+
+        q1 = stackf([st_ref[g, 0] for g in range(S)])
+        q2 = stackf([st_ref[g, 1] for g in range(S)])
+        dq1 = stackf([st_ref[g, 2] for g in range(S)])
+        dq2 = stackf([st_ref[g, 3] for g in range(S)])
+        init = (q1, q2, dq1, dq2, jnp.zeros(shape, jnp.float32),
+                jnp.cos(q1), jnp.sin(q1),
+                jnp.cos(q1 + q2), jnp.sin(q1 + q2))
+
+        def roll(t, carry):
+            q1, q2, dq1, dq2, s, c1, s1v, c12, s12 = carry
+            e1 = eps_buf[pl.ds(t, 1)][0]             # (S,128)
+            e2 = eps_buf[pl.ds(T + t, 1)][0]
+            u1r = u_rows[pl.ds(t, 1)][0]
+            u2r = u_rows[pl.ds(T + t, 1)][0]
+            v1 = jnp.where(exploit, u1r + e1, e1)
+            v2 = jnp.where(exploit, u2r + e2, e2)
+            if cfg.u_clamp is not None:
+                v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+                v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+            c2 = c12 * c1 + s12 * s1v
+            s2v = s12 * c1 - c12 * s1v
+            q1, q2, dq1, dq2 = _dynamics_step_trig(
+                q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12)
+            c1 = jnp.cos(q1)
+            s1v = jnp.sin(q1)
+            q12 = q1 + q2
+            c12 = jnp.cos(q12)
+            s12 = jnp.sin(q12)
+            x = cfg.l1 * c1 + cfg.l2 * c12
+            y = cfg.l1 * s1v + cfg.l2 * s12
+            s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec,
+                                   *stage_w, cfg=cfg, window_len=W,
+                                   unroll=True, xy=(x, y))
+            su1 = si0 * u1r + si1 * u2r
+            su2 = si2 * u1r + si3 * u2r
+            s = s + gamma * (v1 * su1 + v2 * su2)
+            return q1, q2, dq1, dq2, s, c1, s1v, c12, s12
+
+        (q1, q2, dq1, dq2, s,
+         c1, s1v, c12, s12) = jax.lax.fori_loop(
+            0, T, roll, init, unroll=T if unroll_t else 1)
+        xT = cfg.l1 * c1 + cfg.l2 * c12
+        yT = cfg.l1 * s1v + cfg.l2 * s12
+        s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec, *term_w,
+                               cfg=cfg, window_len=W, unroll=True,
+                               xy=(xT, yT))
+        s = jnp.where(k_idx < k_actual, s, inf)
+
+        # ---- per-scenario softmax = row-wise lane reductions --------------
+        m = jnp.min(s, axis=1, keepdims=True)            # (S,1)
+        e = jnp.exp(-(s - m) / lam)
+        eta = jnp.sum(e, axis=1, keepdims=True)
+        inv_eta = 1.0 / eta
+        cost_mean = (jnp.sum(jnp.where(k_idx < k_actual, s, 0.0),
+                             axis=1, keepdims=True) / k_actual)
+        ess = (eta * eta) / jnp.sum(e * e, axis=1, keepdims=True)
+        ent = (jnp.log(eta)
+               + jnp.sum(jnp.where(k_idx < k_actual, e * (s - m), 0.0),
+                         axis=1, keepdims=True) * inv_eta / lam)
+        stat_buf[pl.ds(0, 1)] = jnp.broadcast_to(m, shape)[None]
+        stat_buf[pl.ds(1, 1)] = jnp.broadcast_to(cost_mean, shape)[None]
+        stat_buf[pl.ds(2, 1)] = jnp.broadcast_to(ess, shape)[None]
+        stat_buf[pl.ds(3, 1)] = jnp.broadcast_to(ent, shape)[None]
+
+        # ---- Σwε + median + fused update/shift, all scenarios at once ----
+        eps_all = eps_buf[...]                           # (2T,S,128)
+        ew = e[None] * eps_all
+        weps = jnp.broadcast_to(
+            jnp.sum(ew, axis=2, keepdims=True) * inv_eta[None],
+            (2 * T, S, _LANES))
+
+        fw = cfg.filter_window
+        left = fw // 2
+        right = fw - left - 1
+        rank = fw // 2
+        frz3 = frz_vec[None]
+        for c in range(2):
+            base = c * T
+            interior = jax.lax.slice_in_dim(weps, base, base + T)
+            lrows = [jax.lax.slice_in_dim(interior, left - 1 - j, left - j)
+                     for j in range(left)]
+            rrows = [jax.lax.slice_in_dim(interior, T - 1 - j, T - j)
+                     for j in range(right)]
+            pb = jnp.concatenate(lrows + [interior] + rrows, axis=0)
+            windows = [jax.lax.slice_in_dim(pb, k, k + T)
+                       for k in range(fw)]
+            for rnd in range(fw):
+                for i in range(rnd % 2, fw - 1, 2):
+                    lo = jnp.minimum(windows[i], windows[i + 1])
+                    hi = jnp.maximum(windows[i], windows[i + 1])
+                    windows[i], windows[i + 1] = lo, hi
+            med = windows[rank]                          # (T,S,128)
+            cur = u_rows[pl.ds(base, T)]
+            unew = cur + med
+            shifted = jnp.concatenate(
+                [jax.lax.slice_in_dim(unew, 1, T),
+                 jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
+            u_rows[pl.ds(base, T)] = jnp.where(frz3, cur, shifted)
+
+        # ---- plant step + record rows (per-scenario scalar) ---------------
+        for g in range(S):
+            frz = frozen[g]
+            u0_1 = u_rows[0, g, 0]
+            u0_2 = u_rows[T, g, 0]
+            oq1, oq2, odq1, odq2 = old_st[g]
+            nq1, nq2, ndq1, ndq2 = _dynamics_step(
+                oq1, oq2, odq1, odq2,
+                u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
+            nq1 = jnp.where(frz, oq1, nq1)
+            nq2 = jnp.where(frz, oq2, nq2)
+            ndq1 = jnp.where(frz, odq1, ndq1)
+            ndq2 = jnp.where(frz, odq2, ndq2)
+            st_ref[g, 0] = nq1
+            st_ref[g, 1] = nq2
+            st_ref[g, 2] = ndq1
+            st_ref[g, 3] = ndq2
+
+            zero = f32(0.0)
+            vals = (nq1, nq2, ndq1, ndq2,
+                    jnp.where(frz, zero, u0_1),
+                    jnp.where(frz, zero, u0_2),
+                    wp_lane[g],
+                    jnp.where(frz, f32(1.0), zero),
+                    jnp.where(frz, zero, stat_buf[0, g, 0]),
+                    jnp.where(frz, zero, stat_buf[1, g, 0]),
+                    jnp.where(frz, zero, stat_buf[2, g, 0]),
+                    jnp.where(frz, zero, stat_buf[3, g, 0]))
+            row = jnp.zeros((1, _LANES), jnp.float32)
+            for i, v in enumerate(vals):
+                row = jnp.where(lane_iota == i, v, row)
+            rec_ref[g, pl.ds(step, 1)] = row
+
+        return 0
+
+    jax.lax.fori_loop(0, n_steps, step_body, 0)
+    ufin_ref[...] = u_rows[...]
+
+
 def pallas_sim_run_batched(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -460,12 +788,19 @@ def pallas_sim_run_batched(
     config 4 with zero per-step XLA glue).  Grid programs run sequentially
     on the core.  Per-scenario results are bitwise-identical to group=1.
 
-    Measured (TPU v5e, B=32, K=128, T=30, unrolled): group=2 is +5% and
-    group=4 +7% over group=1, at 3x/11x the Mosaic compile time — the
-    per-scenario step is ISSUE-bound (op count), not latency-bound, so
-    instruction interleaving recovers little.  Default therefore stays 1;
-    the knob exists for long-lived fleets where a one-off compile buys a
-    few percent forever.
+    Two implementations behind one interface, both bitwise-identical to
+    group=1 per scenario:
+
+    * K ≤ 128 (one sublane of work per scenario): the SUBLANE-STACKED
+      kernel (:func:`_sim_kernel_stacked`) — group scenarios ride the
+      vreg's 8 sublane rows, so every vector op computes all of them at
+      the same cycle cost.  This is the BASELINE config-4 path; use
+      group=8.
+    * otherwise: the instruction-INTERLEAVED kernel (:func:`_sim_kernel`).
+      Measured (TPU v5e, B=32, K=128, T=30, unrolled): group=2 +5%,
+      group=4 +7% over group=1 at 3x/11x the Mosaic compile time — the
+      per-scenario step is issue-bound, so interleaving recovers little.
+      Kept for K > 128 where stacking can't apply; default group=1.
 
     Returns (records (B, n_steps, _REC_LANES) f32, u_final (B, T, 2)).
     """
@@ -513,9 +848,51 @@ def pallas_sim_run_batched(
                   .transpose(0, 1, 5, 4, 2, 3)   # dim-major rows c*T + t
                   .reshape(B, n_steps * 2 * T, sub, _LANES))
 
-    kernel = functools.partial(
-        _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps, tile=tile,
-        use_prng=use_prng, unroll_t=unroll_t, group=G)
+    stacked = sub == 1 and 1 < G <= 8
+    if stacked:
+        # scenario rides the SUBLANE axis: (B, 2T, 128) -> (B/G, 2T, G, 128)
+        u0_k = (u0_rows.reshape(B // G, G, 2 * T, _LANES)
+                .transpose(0, 2, 1, 3))
+        eps_k = (eps_in.reshape(B // G, G, -1, _LANES)
+                 .transpose(0, 2, 1, 3))   # (B/G, n*2T | 1, G, 128)
+        kernel = functools.partial(
+            _sim_kernel_stacked, arm=arm, cfg=cfg, sim=sim,
+            n_steps=n_steps, tile=tile, use_prng=use_prng,
+            unroll_t=unroll_t, group=G)
+        u0_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
+                               lambda b: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ufin_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
+                                 lambda b: (b, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        ufin_shape = jax.ShapeDtypeStruct((B // G, 2 * T, G, _LANES),
+                                          jnp.float32)
+        scratch = [
+            pltpu.VMEM((2 * T, G, _LANES), jnp.float32),       # u_rows
+            pltpu.VMEM((2 * T, G, _LANES), jnp.float32),       # eps_buf
+            pltpu.VMEM((4, G, _LANES), jnp.float32),           # stats
+            pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),
+            pltpu.SMEM((G, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
+    else:
+        u0_k = u0_rows
+        eps_k = eps_in
+        kernel = functools.partial(
+            _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps,
+            tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G)
+        u0_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ufin_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        ufin_shape = jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32)
+        scratch = [
+            pltpu.VMEM((G, 2 * T, _LANES), jnp.float32),       # u_rows
+            pltpu.VMEM((G, 2 * T, sub, _LANES), jnp.float32),  # eps_buf
+            pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),
+            pltpu.SMEM((G, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ]
 
     rec, ufin = pl.pallas_call(
         kernel,
@@ -527,8 +904,7 @@ def pallas_sim_run_batched(
                          memory_space=pltpu.SMEM),       # seed,step0 i32
             pl.BlockSpec(memory_space=pltpu.SMEM),       # chol (shared)
             pl.BlockSpec(memory_space=pltpu.SMEM),       # sigma^-1 (shared)
-            pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),       # warm start
+            u0_spec,                                     # warm start
             pl.BlockSpec(memory_space=pltpu.VMEM),       # ref path (shared)
             pl.BlockSpec(memory_space=pl.ANY),           # injected noise:
                          # stays in HBM; the kernel DMAs one step-slice per
@@ -537,24 +913,19 @@ def pallas_sim_run_batched(
         out_specs=[
             pl.BlockSpec((G, n_steps, _LANES), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
+            ufin_spec,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, n_steps, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((B, 2 * T, _LANES), jnp.float32),
+            ufin_shape,
         ],
-        scratch_shapes=[
-            pltpu.VMEM((G, 2 * T, _LANES), jnp.float32),       # u_rows
-            pltpu.VMEM((G, 2 * T, sub, _LANES), jnp.float32),  # eps_buf
-            pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),  # windows
-            pltpu.SMEM((G, 8), jnp.float32),                   # state
-            pltpu.SemaphoreType.DMA,                           # eps copies
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(scalars, seed_i32, chol_flat, sinv, u0_rows,
-      ref_path.astype(jnp.float32), eps_in)
+    )(scalars, seed_i32, chol_flat, sinv, u0_k,
+      ref_path.astype(jnp.float32), eps_k)
 
+    if stacked:
+        ufin = ufin.transpose(0, 2, 1, 3).reshape(B, 2 * T, _LANES)
     u_final = ufin[:, :, 0].reshape(B, 2, T).transpose(0, 2, 1)
     return rec[:, :, :_REC_LANES], u_final
 

@@ -203,6 +203,7 @@ def test_grouped_fused_matches_group1(ref_path, rng):
     rec1 = np.asarray(rec1)
     assert rec1[:, -1, 7].tolist() == [0.0, 1.0, 0.0, 1.0], \
         "fixture must mix frozen and active scenarios in the group"
+    # K=128 -> sub==1, so group>1 takes the SUBLANE-STACKED kernel
     for g in (2, 4):
         recg, ufing = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
                                              interpret=True, group=g)
@@ -210,6 +211,28 @@ def test_grouped_fused_matches_group1(ref_path, rng):
                                       err_msg=f"records group={g}")
         np.testing.assert_array_equal(np.asarray(ufing), np.asarray(ufin1),
                                       err_msg=f"u_final group={g}")
+
+
+def test_grouped_interleaved_matches_group1(ref_path, rng):
+    """K=256 (sub=2) routes group>1 to the instruction-INTERLEAVED kernel;
+    bitwise vs group=1 there too."""
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=5)
+    ref = jnp.asarray(ref_path[:200], jnp.float32)
+    B, steps = 2, 4
+    eps = (rng.normal(size=(B, steps, 256, 5, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    q0 = (jnp.tile(jnp.asarray([SIM.q0], jnp.float32), (B, 1))
+          + 0.01 * jnp.arange(B)[:, None])
+    args = (ARM, cfg, SIM, ref, q0, jnp.zeros((B, 2), jnp.float32),
+            jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 5, 1)),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), steps)
+    rec1, ufin1 = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                         interpret=True, group=1)
+    rec2, ufin2 = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                         interpret=True, group=2)
+    np.testing.assert_array_equal(np.asarray(rec2), np.asarray(rec1))
+    np.testing.assert_array_equal(np.asarray(ufin2), np.asarray(ufin1))
 
 
 def test_grouped_fused_validates_divisibility(ref_path):

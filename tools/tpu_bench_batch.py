@@ -46,9 +46,14 @@ def main():
         return simulate_batch(arm, cfg, sim, ref, states0, steps,
                               backend=backend)
 
+    # K <= 128 routes group>1 to the sublane-stacked kernel (8 scenarios
+    # per vreg); bigger K keeps group=1 (see ops/pallas_sim.py)
+    group = 8 if (k <= 128 and b % 8 == 0) else 1
+
     def run_fused():
         states0 = init_sim_batch(cfg, sim, keys, q0=q0)
-        return simulate_fused_batch(arm, cfg, sim, ref, states0, steps)
+        return simulate_fused_batch(arm, cfg, sim, ref, states0, steps,
+                                    group=group)
 
     runners = [("fused", run_fused),
                ("pallas", lambda: run_batch("pallas")),
