@@ -380,9 +380,13 @@ def simulate_fused_batch(
     states0: SimState,           # batched (init_sim_batch)
     num_steps: int,
     eps_per_step=None,           # optional (B, num_steps, K, T, 2)
-    group: int = 1,              # scenarios interleaved per kernel program
-                                 # (opt-in ~5-7% for long-lived fleets at a
-                                 # group-x compile cost; see pallas_sim)
+    group=None,                  # scenarios per kernel program.  None =
+                                 # auto: for K <= 128 pick the largest
+                                 # divisor of B up to 8 — that routes to
+                                 # the sublane-STACKED kernel (8 scenarios
+                                 # per vreg, ~4.6x, bitwise-identical);
+                                 # larger K stays at 1 (interleaving buys
+                                 # only ~5-7%).  See ops/pallas_sim.py.
 ):
     """B scenarios × the WHOLE closed loop in ONE kernel launch.
 
@@ -393,6 +397,13 @@ def simulate_fused_batch(
     """
     from ..ops.pallas_sim import pallas_sim_run_batched
     from ..models.arm import fk_full as _fkf
+
+    if group is None:
+        B = states0.q.shape[0]
+        if cfg.num_samples <= 128:
+            group = next(g for g in (8, 4, 2, 1) if B % g == 0)
+        else:
+            group = 1
 
     keys = states0.key
     kd = (jax.random.key_data(keys)
