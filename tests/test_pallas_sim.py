@@ -213,6 +213,28 @@ def test_grouped_fused_matches_group1(ref_path, rng):
                                       err_msg=f"u_final group={g}")
 
 
+def test_stacked_k_padding_matches_group1(ref_path, rng):
+    """K=100 (reference config, padded to one 128-lane tile) through the
+    stacked kernel: per-row lane masking must reproduce group=1 bitwise."""
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=100, horizon=6)
+    ref = jnp.asarray(ref_path[:300], jnp.float32)
+    B, steps = 4, 5
+    eps = (rng.normal(size=(B, steps, 100, 6, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    q0 = (jnp.tile(jnp.asarray([SIM.q0], jnp.float32), (B, 1))
+          + 0.01 * jnp.arange(B)[:, None])
+    args = (ARM, cfg, SIM, ref, q0, jnp.zeros((B, 2), jnp.float32),
+            jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 6, 1)),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), steps)
+    rec1, ufin1 = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                         interpret=True, group=1)
+    rec4, ufin4 = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                         interpret=True, group=4)
+    np.testing.assert_array_equal(np.asarray(rec4), np.asarray(rec1))
+    np.testing.assert_array_equal(np.asarray(ufin4), np.asarray(ufin1))
+
+
 def test_grouped_interleaved_matches_group1(ref_path, rng):
     """K=256 (sub=2) routes group>1 to the instruction-INTERLEAVED kernel;
     bitwise vs group=1 there too."""
