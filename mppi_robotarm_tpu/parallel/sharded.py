@@ -287,6 +287,84 @@ def make_sharded_sim_step(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
     return jax.jit(fn)
 
 
+def make_sharded_fleet(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
+                       mesh: Mesh, n_steps: int, *,
+                       interpret: bool = False, group=None):
+    """B scenarios sharded over 'data', each shard running its WHOLE
+    receding-horizon loop in ONE fused-kernel launch.
+
+    This is the pod-scale fleet program (BASELINE config 4 at 32k
+    scenarios): a pure fleet has ZERO cross-scenario communication, so the
+    'data' axis spans hosts/DCN freely and each chip executes
+    ``pallas_sim_run_batched`` on its local scenario block — the
+    sublane-stacked kernel when K ≤ 128 (group auto-selected per shard,
+    ~530k scenario-solves/s per chip measured), the scenario-grid kernel
+    otherwise.  Contrast :func:`make_sharded_sim_step`, which shards the K
+    SAMPLE axis and pays three ICI collectives per solve — use that when a
+    single scenario's K exceeds one chip, this when scenarios outnumber
+    chips.
+
+    Returns a jitted function
+        f(ref_path, q0 (B,2), dq0 (B,2), u_prev (B,T,2), wp_idx (B,) i32,
+          seeds (B,) i32, step0 (B,) i32)
+          -> (records (B, n_steps, 12) f32, u_final (B, T, 2))
+    with B divisible by the 'data' axis size.  Records follow
+    ops/pallas_sim._REC_LANES; seeds/step0 index the per-scenario noise
+    streams exactly as simulate_fused_batch (checkpoint/chain continuation
+    holds across resharding as long as each scenario keeps its seed).
+    """
+    from ..ops.pallas_sim import pallas_sim_run_batched
+
+    n_data = mesh.shape[DATA_AXIS]
+
+    def _run_local(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0,
+                   eps=None):
+        b_local = q0.shape[0]
+        if group is None:
+            g = (next(gg for gg in (8, 4, 2, 1) if b_local % gg == 0)
+                 if cfg.num_samples <= 128 else 1)
+        else:
+            g = group
+        return pallas_sim_run_batched(
+            arm, cfg, sim, ref_path, q0, dq0, u_prev, wp_idx, seeds,
+            n_steps, eps=eps, interpret=interpret,
+            unroll_t=cfg.horizon <= 64, step0=step0, group=g)
+
+    # two shard_map variants: production (in-kernel hardware PRNG — TPU
+    # only) and the injected-noise parity seam (CPU-testable: the
+    # interpreter can't lower prng_seed)
+    fn_prng = shard_map(
+        _run_local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    fn_eps = shard_map(
+        lambda r, q, dq, u, w, s, st, e: _run_local(r, q, dq, u, w, s, st,
+                                                    eps=e),
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    jit_prng = jax.jit(fn_prng)
+    jit_eps = jax.jit(fn_eps)
+
+    def checked(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0, eps=None):
+        if q0.shape[0] % n_data:
+            raise ValueError(
+                f"B={q0.shape[0]} is not divisible by the 'data' axis "
+                f"size {n_data}")
+        if eps is None:
+            return jit_prng(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0)
+        return jit_eps(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0, eps)
+
+    return checked
+
+
 def scenario_sharding(mesh: Mesh, *batch_axes_only: int) -> NamedSharding:
     """NamedSharding placing the leading batch axis on 'data'."""
     return NamedSharding(mesh, P(DATA_AXIS))

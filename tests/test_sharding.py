@@ -219,3 +219,46 @@ def test_initialize_multihost_single_process_noop():
     from mppi_robotarm_tpu.parallel.mesh import initialize_multihost
     initialize_multihost()          # must not raise
     initialize_multihost()          # idempotent
+
+
+def test_sharded_fleet_matches_unsharded(ref_path):
+    """make_sharded_fleet ('data'-axis whole-loop fleet, stacked kernel per
+    shard) is bitwise-equal to the unsharded batched kernel."""
+    from mppi_robotarm_tpu.config import SimConfig
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    from mppi_robotarm_tpu.parallel.sharded import make_sharded_fleet
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    sim = SimConfig()
+    mesh = make_mesh(samples=1)                 # data=8
+    B, steps = 16, 4
+    rng = np.random.default_rng(7)
+    q0 = jnp.asarray(np.tile(X0[:2], (B, 1))
+                     + rng.normal(scale=0.01, size=(B, 2)), jnp.float32)
+    dq0 = jnp.zeros((B, 2), jnp.float32)
+    up = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 6, 1))
+    wp0 = jnp.zeros(B, jnp.int32)
+    seeds = jnp.arange(B, dtype=jnp.int32)
+    step0 = jnp.zeros(B, jnp.int32)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+
+    eps = jnp.asarray(rng.normal(size=(B, steps, 128, 6, 2))
+                      * np.sqrt(20.0), jnp.float32)
+    fleet = make_sharded_fleet(ARM, cfg, sim, mesh, steps, interpret=True)
+    rec_s, ufin_s = fleet(ref, q0, dq0, up, wp0, seeds, step0, eps=eps)
+
+    rec_u, ufin_u = pallas_sim_run_batched(
+        ARM, cfg, sim, ref, q0, dq0, up, wp0, seeds, steps, eps=eps,
+        interpret=True, unroll_t=True, step0=step0, group=2)
+    # On hardware the kernel is identical either way; in interpret mode the
+    # kernel body is re-lowered to XLA ops whose FMA contraction differs
+    # inside vs outside shard_map, so float lanes agree to ulp-level only.
+    rs, ru = np.asarray(rec_s), np.asarray(rec_u)
+    np.testing.assert_allclose(rs, ru, atol=2e-3)
+    np.testing.assert_array_equal(rs[..., 6:8], ru[..., 6:8])  # wp, done
+    np.testing.assert_allclose(np.asarray(ufin_s), np.asarray(ufin_u),
+                               atol=2e-3)
+
+    with pytest.raises(ValueError, match="data"):
+        fleet(ref, q0[:6], dq0[:6], up[:6], wp0[:6], seeds[:6], step0[:6],
+              eps=eps[:6])
