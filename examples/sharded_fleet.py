@@ -39,7 +39,10 @@ import jax.numpy as jnp
 
 import mppi_robotarm_tpu as m
 from mppi_robotarm_tpu.parallel.mesh import initialize_multihost, make_mesh
-from mppi_robotarm_tpu.parallel.sharded import make_sharded_sim_step
+from mppi_robotarm_tpu.parallel.sharded import (
+    make_sharded_fleet,
+    make_sharded_sim_step,
+)
 
 
 def main():
@@ -92,6 +95,32 @@ def main():
     print(f"wp_idx range: {int(np.min(np.asarray(wp_idx)))}.."
           f"{int(np.max(np.asarray(wp_idx)))}; any done: "
           f"{bool(np.any(np.asarray(done)))}")
+
+    # ---- the zero-collective fleet program -----------------------------
+    # When scenarios outnumber chips, shard them over a pure-'data' mesh
+    # and run each shard's WHOLE loop in one fused-kernel launch (the
+    # sublane-stacked kernel at K <= 128) - no collectives at all.
+    fleet_mesh = make_mesh(samples=1)
+    cfg_f = dataclasses.replace(cfg, num_samples=128)
+    fleet = make_sharded_fleet(arm, cfg_f, sim, fleet_mesh, steps,
+                               interpret=not on_tpu)
+    q0 = jnp.tile(jnp.asarray([sim.q0], jnp.float32), (batch, 1))
+    seeds = jnp.arange(batch, dtype=jnp.int32)
+    step0 = jnp.zeros(batch, jnp.int32)
+    eps = (None if on_tpu else
+           jnp.asarray(np.random.default_rng(0).normal(
+               size=(batch, steps, 128, cfg.horizon, 2)) * np.sqrt(20.0),
+               jnp.float32))
+    t0 = time.perf_counter()
+    rec, ufin = fleet(ref, q0, jnp.zeros((batch, 2), jnp.float32),
+                      jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                               (batch, cfg.horizon, 1)),
+                      jnp.zeros(batch, jnp.int32), seeds, step0, eps=eps)
+    jax.block_until_ready(rec)
+    wall_f = time.perf_counter() - t0
+    print(f"fleet (whole-loop kernel, zero collectives): {batch} x {steps} "
+          f"steps in {wall_f:.2f}s ({batch * steps / wall_f:.0f} "
+          f"scenario-solves/s incl. compile+dispatch)")
 
 
 if __name__ == "__main__":
