@@ -46,7 +46,7 @@ grouping buys only ~5-7% — kept as an opt-in knob, default 1.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 import jax
