@@ -338,3 +338,39 @@ def test_fused_chunked_continues_full(ref_path, rng):
         np.testing.assert_array_equal(
             np.asarray(getattr(rec_chunk, f)),
             np.asarray(getattr(rec_full, f)), err_msg=f)
+
+
+def test_fused_batch_chunked_continues_full(ref_path, rng):
+    """Chaining simulate_fused_batch from the returned batched state equals
+    one long fused fleet run — per-scenario step/stream alignment holds
+    through the stacked kernel too."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    B, steps = 2, 6
+    eps = (rng.normal(size=(B, steps, 128, 8, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+
+    import mppi_robotarm_tpu.ops.pallas_sim as ps
+    orig = ps.pallas_sim_run_batched
+    ps.pallas_sim_run_batched = lambda *a, **kw: orig(
+        *a, **{**kw, "interpret": True})
+    try:
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+        s_full = m.init_sim_batch(cfg, SIM, keys)
+        _, rec_full = m.simulate_fused_batch(ARM, cfg, SIM, ref, s_full,
+                                             steps, eps_per_step=eps)
+        states = m.init_sim_batch(cfg, SIM, keys)
+        parts = []
+        for lo, hi in ((0, 3), (3, 6)):
+            states, rec = m.simulate_fused_batch(
+                ARM, cfg, SIM, ref, states, hi - lo,
+                eps_per_step=eps[:, lo:hi])
+            parts.append(rec)
+    finally:
+        ps.pallas_sim_run_batched = orig
+    assert np.all(np.asarray(states.step) == steps)
+    rec_chunk = jax.tree.map(lambda *xs: jnp.concatenate(xs, 0), *parts)
+    for f in rec_full._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rec_chunk, f)),
+            np.asarray(getattr(rec_full, f)), err_msg=f)
