@@ -301,8 +301,13 @@ def simulate_batch(
     return lax.scan(body, states0, jnp.arange(num_steps))
 
 
-@partial(jax.jit,
-         static_argnames=("arm", "cfg", "sim", "num_steps"))
+# One fused launch keeps its (n_steps, 128) f32 record rows per scenario in
+# VMEM; cap the per-launch chunk (~8 MB single-scenario) and chain — the
+# (seed, absolute-step) noise indexing makes chained runs BITWISE equal to
+# one launch (test_fused_chunked_continues_full), so the split is invisible.
+_FUSED_MAX_STEPS = 16384
+
+
 def simulate_fused(
     arm: ArmParams,
     cfg: MPPIConfig,
@@ -319,10 +324,39 @@ def simulate_fused(
     writes all execute in a single kernel invocation — no per-step XLA ops.
     Requires K to fit one kernel tile (K ≤ 8192 at H=50).  Semantics match
     :func:`simulate` (verified bitwise on state against the per-step path).
+    Runs longer than ``_FUSED_MAX_STEPS`` are transparently chained
+    (bitwise-equal to a single launch) so record VMEM never overflows.
 
     ``eps_per_step``: optional (num_steps, K, T, 2) injected noise (parity
     seam); default uses the on-chip hardware PRNG seeded from state0.key.
     """
+    if num_steps > _FUSED_MAX_STEPS:
+        state, parts, done = state0, [], 0
+        while done < num_steps:
+            n = min(_FUSED_MAX_STEPS, num_steps - done)
+            e = (None if eps_per_step is None
+                 else jnp.asarray(eps_per_step)[done:done + n])
+            state, rec = _simulate_fused_jit(arm, cfg, sim, ref_path,
+                                             state, n, e)
+            parts.append(rec)
+            done += n
+        return state, jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                                   *parts)
+    return _simulate_fused_jit(arm, cfg, sim, ref_path, state0, num_steps,
+                               eps_per_step)
+
+
+@partial(jax.jit,
+         static_argnames=("arm", "cfg", "sim", "num_steps"))
+def _simulate_fused_jit(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,
+    state0: SimState,
+    num_steps: int,
+    eps_per_step=None,
+):
     from ..ops.pallas_sim import pallas_sim_run
     from ..models.arm import fk_full as _fkf
 
@@ -372,7 +406,7 @@ def simulate_fused(
 
 @partial(jax.jit,
          static_argnames=("arm", "cfg", "sim", "num_steps", "group"))
-def simulate_fused_batch(
+def _simulate_fused_batch_jit(
     arm: ArmParams,
     cfg: MPPIConfig,
     sim: SimConfig,
@@ -445,6 +479,46 @@ def simulate_fused_batch(
         key=keys, done=rec.done[-1],
     )
     return final, rec
+
+
+def simulate_fused_batch(
+    arm: ArmParams,
+    cfg: MPPIConfig,
+    sim: SimConfig,
+    ref_path: jnp.ndarray,
+    states0: SimState,
+    num_steps: int,
+    eps_per_step=None,
+    group=None,
+):
+    """B scenarios × the WHOLE closed loop, one kernel launch per chunk.
+
+    See :func:`_simulate_fused_batch_jit` for the kernel semantics and the
+    ``group`` knob.  Runs whose per-launch record block would overflow VMEM
+    (the kernel keeps (group · num_steps, 128) f32 record rows resident)
+    are transparently chained — bitwise-equal to one launch
+    (tests/test_pallas_sim.py::test_fused_batch_chunked_continues_full).
+    """
+    g_eff = group
+    if g_eff is None:
+        B = states0.q.shape[0]
+        g_eff = (next(g for g in (8, 4, 2, 1) if B % g == 0)
+                 if cfg.num_samples <= 128 else 1)
+    max_steps = max(1, _FUSED_MAX_STEPS // g_eff)
+    if num_steps > max_steps:
+        state, parts, done = states0, [], 0
+        while done < num_steps:
+            n = min(max_steps, num_steps - done)
+            e = (None if eps_per_step is None
+                 else jnp.asarray(eps_per_step)[:, done:done + n])
+            state, rec = _simulate_fused_batch_jit(
+                arm, cfg, sim, ref_path, state, n, e, group=group)
+            parts.append(rec)
+            done += n
+        return state, jax.tree.map(lambda *xs: jnp.concatenate(xs, 0),
+                                   *parts)
+    return _simulate_fused_batch_jit(arm, cfg, sim, ref_path, states0,
+                                     num_steps, eps_per_step, group=group)
 
 
 def simulate_python(

@@ -374,3 +374,67 @@ def test_fused_batch_chunked_continues_full(ref_path, rng):
         np.testing.assert_array_equal(
             np.asarray(getattr(rec_chunk, f)),
             np.asarray(getattr(rec_full, f)), err_msg=f)
+
+
+def test_auto_chunking_equals_single_launch(ref_path, rng):
+    """simulate_fused/_batch transparently chain when num_steps exceeds the
+    per-launch record budget; force a tiny budget and compare."""
+    import mppi_robotarm_tpu.sim.loop as L
+    import mppi_robotarm_tpu.ops.pallas_sim as ps
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=8)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    steps = 7
+    eps1 = (rng.normal(size=(steps, 128, 8, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    orig_run = ps.pallas_sim_run
+    orig_runb = ps.pallas_sim_run_batched
+    ps.pallas_sim_run = lambda *a, **kw: orig_run(
+        *a, **{**kw, "interpret": True})
+    ps.pallas_sim_run_batched = lambda *a, **kw: orig_runb(
+        *a, **{**kw, "interpret": True})
+    orig_max = L._FUSED_MAX_STEPS
+    try:
+        s0 = m.init_sim(cfg, SIM, jax.random.PRNGKey(2))
+        _, rec_one = m.simulate_fused(ARM, cfg, SIM, ref, s0, steps,
+                                      eps_per_step=eps1)
+        L._FUSED_MAX_STEPS = 3           # force 3 chained launches
+        s0 = m.init_sim(cfg, SIM, jax.random.PRNGKey(2))
+        fin, rec_chunk = m.simulate_fused(ARM, cfg, SIM, ref, s0, steps,
+                                          eps_per_step=eps1)
+        assert int(fin.step) == steps
+        # interpret-mode kernels re-lowered at different chunk shapes can
+        # differ by FMA-contraction ulps on CPU (bitwise chaining is a
+        # kernel-level property, asserted on hardware); discrete lanes exact
+        np.testing.assert_array_equal(np.asarray(rec_chunk.wp_idx),
+                                      np.asarray(rec_one.wp_idx))
+        np.testing.assert_array_equal(np.asarray(rec_chunk.done),
+                                      np.asarray(rec_one.done))
+        for f in rec_one._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(rec_chunk, f)),
+                np.asarray(getattr(rec_one, f)), atol=1e-5, err_msg=f)
+
+        # batched variant
+        B = 2
+        epsb = (rng.normal(size=(B, steps, 128, 8, 2))
+                * np.sqrt(20.0)).astype(np.float32)
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B))
+        L._FUSED_MAX_STEPS = orig_max
+        sb = m.init_sim_batch(cfg, SIM, keys)
+        _, recb_one = m.simulate_fused_batch(ARM, cfg, SIM, ref, sb, steps,
+                                             eps_per_step=epsb)
+        L._FUSED_MAX_STEPS = 4           # budget/group -> 2-step chunks
+        sb = m.init_sim_batch(cfg, SIM, keys)
+        finb, recb_chunk = m.simulate_fused_batch(ARM, cfg, SIM, ref, sb,
+                                                  steps, eps_per_step=epsb)
+        assert np.all(np.asarray(finb.step) == steps)
+        np.testing.assert_array_equal(np.asarray(recb_chunk.wp_idx),
+                                      np.asarray(recb_one.wp_idx))
+        for f in recb_one._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(recb_chunk, f)),
+                np.asarray(getattr(recb_one, f)), atol=1e-5, err_msg=f)
+    finally:
+        L._FUSED_MAX_STEPS = orig_max
+        ps.pallas_sim_run = orig_run
+        ps.pallas_sim_run_batched = orig_runb
