@@ -131,24 +131,31 @@ def fk_full(q1, q2, p: ArmParams):
     return x1, y1, x2, y2
 
 
-def ik_circle(theta, l1: float = 1.0, l2: float = 1.0):
+def ik_circle(theta, l1: float = 1.0, l2: float = 1.0,
+              closure_overrides: bool = True):
     """Closed-form IK for the reference circle path (utils.py:41-62).
 
     The circle is XE = 0.8 + 0.6·cosθ, YE = 0.8 + 0.6·sinθ with two piecewise
     overrides near θ≈2π (utils.py:47-52), then a 2-link arctan IK.  Returns
     (r, XE, YE) where r = [x1d, x2d - x1d] are the joint-angle targets.
     Batched over theta; the piecewise overrides become ``jnp.where`` masks.
+
+    ``closure_overrides=False`` skips the θ≈2π overrides and evaluates the
+    pure circle — required for multi-revolution paths, where the reference's
+    single-revolution closure logic would pin every θ > 2π+0.2 at the
+    singular fully-extended pose (2, 0) and produce a degenerate path.
     """
     theta = jnp.asarray(theta)
     xe = 0.8 + 0.6 * jnp.cos(theta)
     ye = 0.8 + 0.6 * jnp.sin(theta)
-    two_pi = 2.0 * jnp.pi
-    near_close = (theta >= two_pi - 0.2) & (theta <= two_pi + 0.2)
-    past = theta > two_pi + 0.2
-    xe = jnp.where(near_close, 1.4, xe)
-    ye = jnp.where(near_close, 0.8, ye)
-    xe = jnp.where(past, 2.0, xe)
-    ye = jnp.where(past, 0.0, ye)
+    if closure_overrides:
+        two_pi = 2.0 * jnp.pi
+        near_close = (theta >= two_pi - 0.2) & (theta <= two_pi + 0.2)
+        past = theta > two_pi + 0.2
+        xe = jnp.where(near_close, 1.4, xe)
+        ye = jnp.where(near_close, 0.8, ye)
+        xe = jnp.where(past, 2.0, xe)
+        ye = jnp.where(past, 0.0, ye)
 
     term = jnp.sqrt(
         -(xe ** 4)

@@ -75,7 +75,11 @@ def synth_circle_path(
     """
     theta = np.linspace(0.0, 2.0 * np.pi * revolutions, num_waypoints,
                         endpoint=False)
-    r, xe, ye = ik_circle(jnp.asarray(theta))
+    # the reference's θ≈2π closure overrides are a single-revolution quirk
+    # (utils.py:47-52); beyond one revolution they'd pin the path at the
+    # singular (2, 0) pose, so multi-revolution paths use the pure circle
+    r, xe, ye = ik_circle(jnp.asarray(theta),
+                          closure_overrides=revolutions <= 1.0)
     r = np.asarray(r)
     dq = np.gradient(r, axis=0) / dt
     out = np.stack([np.asarray(xe), np.asarray(ye), dq[:, 0], dq[:, 1]],

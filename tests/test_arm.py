@@ -128,3 +128,23 @@ def test_arm_step_fblin_is_double_integrator():
     q_exp = q + dq_exp * dt
     np.testing.assert_allclose([dq1n, dq2n], dq_exp, rtol=1e-10)
     np.testing.assert_allclose([q1n, q2n], q_exp, rtol=1e-10)
+
+
+def test_ik_circle_multi_revolution_paths_are_smooth():
+    """revolutions > 1 must skip the reference's single-revolution closure
+    overrides (utils.py:47-52) — with them every θ > 2π+0.2 pins the path
+    at the singular (2, 0) pose and the synthesized path degenerates."""
+    import numpy as np
+    from mppi_robotarm_tpu.sim.paths import synth_circle_path
+
+    multi = np.asarray(synth_circle_path(4000, revolutions=4.0))
+    d = np.linalg.norm(np.diff(multi[:, :2], axis=0), axis=1)
+    assert d.max() < 3 * np.median(d), "multi-rev path has discontinuities"
+    assert np.abs(multi[:, 2:]).max() < 10, "dq references blew up"
+    # single revolution keeps the reference's closure quirk (parity):
+    # the θ ∈ [2π-0.2, 2π] rows are pinned to (1.4, 0.8) (utils.py:47-49)
+    single = np.asarray(synth_circle_path(2000, revolutions=1.0))
+    pinned = np.isclose(single[:, 0], 1.4, atol=1e-6) & np.isclose(
+        single[:, 1], 0.8, atol=1e-6)
+    assert pinned[-30:].all(), \
+        "closure override rows missing from the single-rev path"
