@@ -112,11 +112,24 @@ def main() -> None:
                   file=sys.stderr)
 
     # Sanity: the run must actually track (guards against a degenerate bench).
+    # On-path (lag-free) EE error over the first 1500 live steps, bounded at
+    # 15 mm mean — the measured realization spread is 6-16 mm (PARITY_RUN.md),
+    # so a fast-but-3x-worse kernel regression fails here, not just a
+    # non-tracking run (round-2 W5).
     rec = out[1]
     ee = np.asarray(rec.ee)
-    err = np.linalg.norm(ee[:30] - np.asarray(ref_path)[1:31, 0:2], axis=1)
-    assert np.isfinite(solves_per_s) and err.mean() < 0.05, (
-        solves_per_s, err.mean())
+    live = ~np.asarray(rec.done)
+    ee = ee[live][:1500]
+    path_xy = np.asarray(ref_path)[:, 0:2]
+    on_path = np.empty(len(ee))
+    for i in range(0, len(ee), 256):     # chunked pairwise distances
+        d = np.linalg.norm(ee[i:i + 256, None, :] - path_xy[None], axis=-1)
+        on_path[i:i + 256] = d.min(axis=1)
+    assert np.isfinite(solves_per_s) and len(ee) >= 1000, (
+        solves_per_s, len(ee))
+    assert on_path.mean() < 0.015, (
+        f"degenerate bench run: on-path EE error {on_path.mean() * 1e3:.1f} "
+        f"mm mean (gate 15 mm)")
 
     print(json.dumps({
         "metric": "mppi_solves_per_s_per_chip_K1024_H50",

@@ -58,7 +58,10 @@ class SolveResult(NamedTuple):
     path_end: jnp.ndarray        # () bool — reference IndexError condition (Q6)
     costs: jnp.ndarray           # (K,) per-sample total costs S
     weights: jnp.ndarray         # (K,) importance weights w
-    eps: jnp.ndarray             # (K, T, 2) the noise actually used
+    eps: Optional[jnp.ndarray]   # (K, T, 2) the noise actually used — None
+                                 # on the key-mode pallas path unless
+                                 # want_eps=True (the noise stays VMEM-only;
+                                 # see solve()'s want_eps docstring)
 
 
 class VizResult(NamedTuple):
@@ -252,7 +255,17 @@ def viz_rollouts(
     Reproduces control.py:129-145 including quirk Q4 (controls applied rolled
     by one, last-first).  ``v`` is reconstructed from u_prev/eps exactly as in
     the cost rollout (control.py:98-101).
+
+    ``eps`` must be a real array: a key-mode pallas solve returns
+    ``SolveResult.eps = None`` unless called with ``want_eps=True`` (the
+    noise never leaves VMEM otherwise) — fail loudly here rather than with
+    an opaque trace error deep inside jit.
     """
+    if eps is None:
+        raise ValueError(
+            "viz_rollouts needs the solve's noise tensor, but SolveResult"
+            ".eps is None — re-run solve(..., want_eps=True) (key-mode "
+            "pallas solves skip the eps HBM writeback by default)")
     k_idx = jnp.arange(cfg.num_samples)
     exploit = (k_idx < (1.0 - cfg.exploration) * cfg.num_samples)[:, None, None]
     v = jnp.where(exploit, u_prev[None] + eps, eps)

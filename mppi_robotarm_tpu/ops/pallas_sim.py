@@ -88,6 +88,129 @@ class _WinView:
         return self._ref[self._g, j, k]
 
 
+# --- shared per-scenario SCALAR phases -------------------------------------
+# The interleaved (_sim_kernel) and sublane-stacked (_sim_kernel_stacked)
+# kernels run identical per-scenario scalar work around their different
+# vector layouts: waypoint-window refresh + frozen argmin (Q5/Q6), the plant
+# step, and record-row assembly.  One implementation here so a semantics fix
+# can never silently diverge between the two (round-2 W3); the bitwise
+# stacked-vs-interleaved tests pin the equivalence.
+
+
+def _init_scalar_state(st_ref, scalars_ref, n_scen: int) -> None:
+    """Load [q1,q2,dq1,dq2, wp_idx] into SMEM scratch; clear done flags."""
+    for g in range(n_scen):
+        for i in range(4):
+            st_ref[g, i] = scalars_ref[g, 0, i]
+        st_ref[g, 4] = scalars_ref[g, 0, 4]   # wp_idx as f32
+        st_ref[g, 5] = jnp.float32(0.0)       # done flag
+
+
+def _refresh_window(g, widx, ref_ref, win_ref, n_ref, W: int, unroll: bool):
+    """Copy ref rows [widx .. widx+W) into SMEM, clamped (truncation).
+
+    Loads each (1,4) row as a vector and extracts lanes at STATIC indices —
+    real Mosaic rejects dynamic lane-index scalar loads ("index in dimension
+    1 must be a multiple of 128").
+    """
+    def cp(j, _):
+        src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
+        row = ref_ref[pl.ds(src, 1)]          # (1, 4) vector load
+        win_ref[g, j, 0] = row[0, 0]
+        win_ref[g, j, 1] = row[0, 1]
+        win_ref[g, j, 2] = row[0, 2]
+        win_ref[g, j, 3] = row[0, 3]
+        return 0
+    jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll else 1)
+
+
+def _wp_advance_scalar(g, st_ref, win_ref, ref_ref, n_ref, cfg: MPPIConfig,
+                       unroll: bool):
+    """Waypoint-index advance for scenario g (control.py:75/200-232, Q5/Q6).
+
+    Refreshes the SMEM window at the old index, runs the frozen scalar
+    argmin, applies the path-end/was-done freeze, re-refreshes the window at
+    the effective index, and updates st_ref[g, 4:6] in place.
+
+    Returns ``(frozen, wp_lane, nvalid, old_state)`` where ``old_state`` is
+    the (q1, q2, dq1, dq2) scalars BEFORE this step's plant update.
+    """
+    W = cfg.search_idx_len
+    f32 = jnp.float32
+    inf = jnp.float32(np.inf)
+    was_done = st_ref[g, 5] > 0.5
+    q1o = st_ref[g, 0]
+    q2o = st_ref[g, 1]
+    old_state = (st_ref[g, 0], st_ref[g, 1], st_ref[g, 2], st_ref[g, 3])
+    widx0 = st_ref[g, 4].astype(jnp.int32)
+    x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
+    y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
+    _refresh_window(g, widx0, ref_ref, win_ref, n_ref, W, unroll)
+
+    def am(j, carry):
+        bd, bj = carry
+        dx = x - win_ref[g, j, 0]
+        dy = y - win_ref[g, j, 1]
+        d = (dx * dx + dy * dy) * f32(cfg.dist_scale)
+        valid = (widx0 + j) < n_ref.astype(jnp.int32)
+        d = jnp.where(valid, d, inf)
+        better = d < bd
+        return (jnp.where(better, d, bd), jnp.where(better, j, bj))
+
+    _, off = jax.lax.fori_loop(0, W, am, (inf, jnp.int32(0)),
+                               unroll=W if unroll else 1)
+    wn = widx0 + off
+    path_end = wn >= n_ref.astype(jnp.int32) - 1
+    frz = jnp.logical_or(was_done, path_end)
+    # freeze semantics match sim_step: once path_end fires, wp_idx keeps its
+    # pre-advance value (the scan driver's `keep`)
+    st_ref[g, 4] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+    st_ref[g, 5] = jnp.where(frz, f32(1.0), f32(0.0))
+    widx_eff = jnp.where(frz, widx0, wn)
+    _refresh_window(g, widx_eff, ref_ref, win_ref, n_ref, W, unroll)
+    wp_lane = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
+    nvalid = jnp.minimum(f32(W), n_ref - widx_eff.astype(f32))
+    return frz, wp_lane, nvalid, old_state
+
+
+def _plant_record_scalar(g, step, st_ref, rec_ref, frz, wp_lane, old_state,
+                         u0, stats, dist, dt_p, arm: ArmParams, lane_iota):
+    """Plant step (run.py:53-55, Q2) + record-row write for scenario g.
+
+    Same semi-implicit update as the rollout model, just at the plant dt and
+    with the disturbance torque — one shared implementation so a dynamics
+    fix can never drift between the controller model and the plant, nor
+    between the interleaved and stacked kernels.  ``u0``: the applied
+    (u1, u2) scalars; ``stats``: (cost_min, cost_mean, ess, entropy).
+    Frozen scenarios keep their state and zero the u/cost lanes.
+    """
+    f32 = jnp.float32
+    u0_1, u0_2 = u0
+    oq1, oq2, odq1, odq2 = old_state
+    nq1, nq2, ndq1, ndq2 = _dynamics_step(
+        oq1, oq2, odq1, odq2, u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
+    nq1 = jnp.where(frz, oq1, nq1)
+    nq2 = jnp.where(frz, oq2, nq2)
+    ndq1 = jnp.where(frz, odq1, ndq1)
+    ndq2 = jnp.where(frz, odq2, ndq2)
+    st_ref[g, 0] = nq1
+    st_ref[g, 1] = nq2
+    st_ref[g, 2] = ndq1
+    st_ref[g, 3] = ndq2
+
+    zero = f32(0.0)
+    vals = (nq1, nq2, ndq1, ndq2,
+            jnp.where(frz, zero, u0_1),
+            jnp.where(frz, zero, u0_2),
+            wp_lane,
+            jnp.where(frz, f32(1.0), zero)) + tuple(
+        jnp.where(frz, zero, s) for s in stats)
+    row = jnp.zeros((1, _LANES), jnp.float32)
+    for i, v in enumerate(vals):
+        row = jnp.where(lane_iota == i, v, row)
+    rec_ref[g, pl.ds(step, 1)] = row
+
+
 def _sim_kernel(
     scalars_ref,   # SMEM (G,1,7): [q1,q2,dq1,dq2, wp_idx0, n_ref, k_actual]
                    # — this group's block of the (B,1,7) array
@@ -142,29 +265,8 @@ def _sim_kernel(
     f32 = jnp.float32
 
     # init scratch state (runs per grid program, i.e. per scenario group)
-    for g in range(G):
-        for i in range(4):
-            st_ref[g, i] = scalars_ref[g, 0, i]
-        st_ref[g, 4] = scalars_ref[g, 0, 4]   # wp_idx as f32
-        st_ref[g, 5] = f32(0.0)               # done flag
+    _init_scalar_state(st_ref, scalars_ref, G)
     u_rows[...] = u0_ref[...]
-
-    def refresh_window(g, widx):
-        """Copy ref rows [widx .. widx+W) into SMEM, clamped (truncation).
-
-        Loads each (1,4) row as a vector and extracts lanes at STATIC
-        indices — real Mosaic rejects dynamic lane-index scalar loads
-        ("index in dimension 1 must be a multiple of 128").
-        """
-        def cp(j, _):
-            src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
-            row = ref_ref[pl.ds(src, 1)]          # (1, 4) vector load
-            win_ref[g, j, 0] = row[0, 0]
-            win_ref[g, j, 1] = row[0, 1]
-            win_ref[g, j, 2] = row[0, 2]
-            win_ref[g, j, 3] = row[0, 3]
-            return 0
-        jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll_t else 1)
 
     def step_body(step, _):
         # ---- per-scenario waypoint-index advance (control.py:75, Q5) ----
@@ -175,41 +277,8 @@ def _sim_kernel(
         nvalid = [None] * G
         old_st = [None] * G      # (q1,q2,dq1,dq2) before the plant step
         for g in range(G):
-            was_done = st_ref[g, 5] > 0.5
-            q1o = st_ref[g, 0]
-            q2o = st_ref[g, 1]
-            old_st[g] = (st_ref[g, 0], st_ref[g, 1],
-                         st_ref[g, 2], st_ref[g, 3])
-            widx0 = st_ref[g, 4].astype(jnp.int32)
-            x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
-            y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
-            refresh_window(g, widx0)
-
-            def am(j, carry, g=g, x=x, y=y, widx0=widx0):
-                bd, bj = carry
-                dx = x - win_ref[g, j, 0]
-                dy = y - win_ref[g, j, 1]
-                d = (dx * dx + dy * dy) * f32(cfg.dist_scale)
-                valid = (widx0 + j) < n_ref.astype(jnp.int32)
-                d = jnp.where(valid, d, inf)
-                better = d < bd
-                return (jnp.where(better, d, bd), jnp.where(better, j, bj))
-
-            _, off = jax.lax.fori_loop(0, W, am, (inf, jnp.int32(0)),
-                                       unroll=W if unroll_t else 1)
-            wn = widx0 + off
-            path_end = wn >= n_ref.astype(jnp.int32) - 1
-            frz = jnp.logical_or(was_done, path_end)
-            # freeze semantics match sim_step: once path_end fires, wp_idx
-            # keeps its pre-advance value (the scan driver's `keep`)
-            st_ref[g, 4] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
-            st_ref[g, 5] = jnp.where(frz, f32(1.0), f32(0.0))
-            widx_eff = jnp.where(frz, widx0, wn)
-            refresh_window(g, widx_eff)
-            frozen[g] = frz
-            wp_lane[g] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
-            nvalid[g] = jnp.minimum(f32(W),
-                                    (n_ref - widx_eff.astype(f32)))
+            frozen[g], wp_lane[g], nvalid[g], old_st[g] = _wp_advance_scalar(
+                g, st_ref, win_ref, ref_ref, n_ref, cfg, unroll_t)
 
         # ---- noise (per-scenario streams; reseed keeps the stream of the
         # group=1 kernel exactly) ------------------------------------------
@@ -223,7 +292,12 @@ def _sim_kernel(
                 # one (T·sub,128) draw pipelines them across 2·T
                 # independent vregs.  Stream indexing stays
                 # (seed, step0 + step) per scenario, so checkpoint/chain
-                # continuation is unaffected.
+                # continuation holds WITHIN this kernel version.  NOTE:
+                # the batched draw consumes the PRNG bits in a different
+                # order than the earlier per-t draws, so PRNG-mode
+                # recordings/checkpoints from builds before this change
+                # are not bit-continuable across the upgrade (injected-eps
+                # replay is version-stable; see PARITY.md changelog).
                 pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
                 z1, z2 = _box_muller((T * sub, _LANES))
                 eps_buf[g, pl.ds(0, T)] = \
@@ -392,41 +466,11 @@ def _sim_kernel(
                      jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
                 u_rows[g, pl.ds(base, T)] = jnp.where(frz, cur, shifted)
 
-            # ---- plant step (run.py:53-55, Q2) ----------------------------
-            # same semi-implicit update as the rollout model, just at the
-            # plant dt and with the disturbance torque — one shared
-            # implementation so a dynamics fix can never drift between
-            # the controller model and the plant inside this kernel
-            u0_1 = u_rows[g, 0, 0]
-            u0_2 = u_rows[g, T, 0]
-            oq1, oq2, odq1, odq2 = old_st[g]
-            nq1, nq2, ndq1, ndq2 = _dynamics_step(
-                oq1, oq2, odq1, odq2,
-                u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
-            nq1 = jnp.where(frz, oq1, nq1)
-            nq2 = jnp.where(frz, oq2, nq2)
-            ndq1 = jnp.where(frz, odq1, ndq1)
-            ndq2 = jnp.where(frz, odq2, ndq2)
-            st_ref[g, 0] = nq1
-            st_ref[g, 1] = nq2
-            st_ref[g, 2] = ndq1
-            st_ref[g, 3] = ndq2
-
-            # ---- record row (run vs frozen selected lane-wise) ------------
-            zero = f32(0.0)
-            vals = (nq1, nq2, ndq1, ndq2,
-                    jnp.where(frz, zero, u0_1),
-                    jnp.where(frz, zero, u0_2),
-                    wp_lane[g],
-                    jnp.where(frz, f32(1.0), zero),
-                    jnp.where(frz, zero, cost_min),
-                    jnp.where(frz, zero, cost_mean),
-                    jnp.where(frz, zero, ess),
-                    jnp.where(frz, zero, ent))
-            row = jnp.zeros((1, _LANES), jnp.float32)
-            for i, v in enumerate(vals):
-                row = jnp.where(lane_iota == i, v, row)
-            rec_ref[g, pl.ds(step, 1)] = row
+            # ---- plant step + record row (shared scalar phase) ------------
+            _plant_record_scalar(
+                g, step, st_ref, rec_ref, frz, wp_lane[g], old_st[g],
+                (u_rows[g, 0, 0], u_rows[g, T, 0]),
+                (cost_min, cost_mean, ess, ent), dist, dt_p, arm, lane_iota)
 
         return 0
 
@@ -522,64 +566,18 @@ def _sim_kernel_stacked(
             acc = jnp.where(rowmask[g], vals[g], acc)
         return acc
 
-    for g in range(S):
-        for i in range(4):
-            st_ref[g, i] = scalars_ref[g, 0, i]
-        st_ref[g, 4] = scalars_ref[g, 0, 4]
-        st_ref[g, 5] = f32(0.0)
+    _init_scalar_state(st_ref, scalars_ref, S)
     u_rows[...] = u0_ref[...]
 
-    def refresh_window(g, widx):
-        def cp(j, _):
-            src = jnp.minimum(widx + j, n_ref.astype(jnp.int32) - 1)
-            row = ref_ref[pl.ds(src, 1)]
-            win_ref[g, j, 0] = row[0, 0]
-            win_ref[g, j, 1] = row[0, 1]
-            win_ref[g, j, 2] = row[0, 2]
-            win_ref[g, j, 3] = row[0, 3]
-            return 0
-        jax.lax.fori_loop(0, W, cp, 0, unroll=W if unroll_t else 1)
-
     def step_body(step, _):
-        # ---- per-scenario scalar phase: identical to _sim_kernel ---------
+        # ---- per-scenario scalar phase: SHARED with _sim_kernel ----------
         frozen = [None] * S
         wp_lane = [None] * S
         nvalid = [None] * S
         old_st = [None] * S
         for g in range(S):
-            was_done = st_ref[g, 5] > 0.5
-            q1o = st_ref[g, 0]
-            q2o = st_ref[g, 1]
-            old_st[g] = (st_ref[g, 0], st_ref[g, 1],
-                         st_ref[g, 2], st_ref[g, 3])
-            widx0 = st_ref[g, 4].astype(jnp.int32)
-            x = cfg.l1 * jnp.cos(q1o) + cfg.l2 * jnp.cos(q1o + q2o)
-            y = cfg.l1 * jnp.sin(q1o) + cfg.l2 * jnp.sin(q1o + q2o)
-            refresh_window(g, widx0)
-
-            def am(j, carry, g=g, x=x, y=y, widx0=widx0):
-                bd, bj = carry
-                dx = x - win_ref[g, j, 0]
-                dy = y - win_ref[g, j, 1]
-                d = (dx * dx + dy * dy) * f32(cfg.dist_scale)
-                valid = (widx0 + j) < n_ref.astype(jnp.int32)
-                d = jnp.where(valid, d, inf)
-                better = d < bd
-                return (jnp.where(better, d, bd), jnp.where(better, j, bj))
-
-            _, off = jax.lax.fori_loop(0, W, am, (inf, jnp.int32(0)),
-                                       unroll=W if unroll_t else 1)
-            wn = widx0 + off
-            path_end = wn >= n_ref.astype(jnp.int32) - 1
-            frz = jnp.logical_or(was_done, path_end)
-            st_ref[g, 4] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
-            st_ref[g, 5] = jnp.where(frz, f32(1.0), f32(0.0))
-            widx_eff = jnp.where(frz, widx0, wn)
-            refresh_window(g, widx_eff)
-            frozen[g] = frz
-            wp_lane[g] = jnp.where(frz, st_ref[g, 4], wn.astype(f32))
-            nvalid[g] = jnp.minimum(f32(W),
-                                    (n_ref - widx_eff.astype(f32)))
+            frozen[g], wp_lane[g], nvalid[g], old_st[g] = _wp_advance_scalar(
+                g, st_ref, win_ref, ref_ref, n_ref, cfg, unroll_t)
 
         # ---- stacked per-step constants ----------------------------------
         nv_vec = stackf(nvalid)
@@ -723,38 +721,14 @@ def _sim_kernel_stacked(
                  jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
             u_rows[pl.ds(base, T)] = jnp.where(frz3, cur, shifted)
 
-        # ---- plant step + record rows (per-scenario scalar) ---------------
+        # ---- plant step + record rows (SHARED scalar phase) ---------------
         for g in range(S):
-            frz = frozen[g]
-            u0_1 = u_rows[0, g, 0]
-            u0_2 = u_rows[T, g, 0]
-            oq1, oq2, odq1, odq2 = old_st[g]
-            nq1, nq2, ndq1, ndq2 = _dynamics_step(
-                oq1, oq2, odq1, odq2,
-                u0_1 + dist[0], u0_2 + dist[1], dt_p, arm)
-            nq1 = jnp.where(frz, oq1, nq1)
-            nq2 = jnp.where(frz, oq2, nq2)
-            ndq1 = jnp.where(frz, odq1, ndq1)
-            ndq2 = jnp.where(frz, odq2, ndq2)
-            st_ref[g, 0] = nq1
-            st_ref[g, 1] = nq2
-            st_ref[g, 2] = ndq1
-            st_ref[g, 3] = ndq2
-
-            zero = f32(0.0)
-            vals = (nq1, nq2, ndq1, ndq2,
-                    jnp.where(frz, zero, u0_1),
-                    jnp.where(frz, zero, u0_2),
-                    wp_lane[g],
-                    jnp.where(frz, f32(1.0), zero),
-                    jnp.where(frz, zero, stat_buf[0, g, 0]),
-                    jnp.where(frz, zero, stat_buf[1, g, 0]),
-                    jnp.where(frz, zero, stat_buf[2, g, 0]),
-                    jnp.where(frz, zero, stat_buf[3, g, 0]))
-            row = jnp.zeros((1, _LANES), jnp.float32)
-            for i, v in enumerate(vals):
-                row = jnp.where(lane_iota == i, v, row)
-            rec_ref[g, pl.ds(step, 1)] = row
+            _plant_record_scalar(
+                g, step, st_ref, rec_ref, frozen[g], wp_lane[g], old_st[g],
+                (u_rows[0, g, 0], u_rows[T, g, 0]),
+                (stat_buf[0, g, 0], stat_buf[1, g, 0],
+                 stat_buf[2, g, 0], stat_buf[3, g, 0]),
+                dist, dt_p, arm, lane_iota)
 
         return 0
 

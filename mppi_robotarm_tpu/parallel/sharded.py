@@ -39,10 +39,15 @@ from .mesh import DATA_AXIS, SAMPLES_AXIS
 
 
 def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
-                 u_prev, wp_idx, eps_local):
+                 u_prev, wp_idx, eps_local, elide_collectives: bool = False):
     """Per-device, per-scenario solve body (runs under shard_map + vmap).
 
     ``eps_local``: (K_local, T, 2) — this shard's slice of the sample axis.
+    ``elide_collectives=True`` replaces the three cross-shard collectives
+    with their shard-local values — the outputs are semantically WRONG
+    (each shard normalises over its own samples only); it exists solely so
+    tools/collective_cost.py can A/B an otherwise-identical program and
+    isolate the collectives' wall-clock cost.
     """
     kloc = eps_local.shape[0]
     dtype = u_prev.dtype
@@ -59,11 +64,14 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
         k_offset=k_offset,
     )
     # Three collectives over the 'samples' axis (SURVEY.md §5.8).
-    rho = lax.pmin(jnp.min(s_local), SAMPLES_AXIS)
+    ident = lambda x, _axis: x
+    pmin = ident if elide_collectives else lax.pmin
+    psum = ident if elide_collectives else lax.psum
+    rho = pmin(jnp.min(s_local), SAMPLES_AXIS)
     e = jnp.exp(-(s_local - rho) / jnp.asarray(cfg.lam, dtype))
-    eta = lax.psum(jnp.sum(e), SAMPLES_AXIS)
+    eta = psum(jnp.sum(e), SAMPLES_AXIS)
     w_local = e / eta
-    w_eps = lax.psum(jnp.einsum("k,ktu->tu", w_local, eps_local), SAMPLES_AXIS)
+    w_eps = psum(jnp.einsum("k,ktu->tu", w_local, eps_local), SAMPLES_AXIS)
 
     w_eps = median_filter_reflect(w_eps, cfg.filter_window)
     u_seq = u_prev + w_eps
@@ -149,7 +157,8 @@ def _check_samples_divisible(cfg: MPPIConfig, mesh: Mesh) -> None:
 
 
 def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
-                       backend: str = "xla", interpret: bool = False):
+                       backend: str = "xla", interpret: bool = False,
+                       elide_collectives: bool = False):
     """Build a jitted sharded solve over a batch of scenarios.
 
     Signature of the returned function:
@@ -162,16 +171,23 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
     B must divide by the 'data' axis size and K by the 'samples' axis size.
     ``backend='pallas'`` runs the fused kernel per shard with the two-level
     online-softmax cross-shard combine (``interpret=True`` for CPU tests).
+    ``elide_collectives`` (xla backend only) builds the measurement-only
+    collective-free twin program — see :func:`_solve_local`.
     """
     _check_samples_divisible(cfg, mesh)
     if backend == "pallas":
+        if elide_collectives:
+            raise ValueError("elide_collectives is an xla-backend "
+                             "measurement knob")
         def _per_device(ref_path, observed, u_prev, wp_idx, eps):
             return _solve_local_pallas(arm, cfg, ref_path, observed, u_prev,
                                        wp_idx, eps, interpret=interpret)
     else:
         def _per_device(ref_path, observed, u_prev, wp_idx, eps):
             return jax.vmap(
-                lambda o, u, w, e: _solve_local(arm, cfg, ref_path, o, u, w, e)
+                lambda o, u, w, e: _solve_local(
+                    arm, cfg, ref_path, o, u, w, e,
+                    elide_collectives=elide_collectives)
             )(observed, u_prev, wp_idx, eps)
 
     fn = shard_map(
@@ -312,55 +328,99 @@ def make_sharded_fleet(arm: ArmParams, cfg: MPPIConfig, sim: SimConfig,
     ops/pallas_sim._REC_LANES; seeds/step0 index the per-scenario noise
     streams exactly as simulate_fused_batch (checkpoint/chain continuation
     holds across resharding as long as each scenario keeps its seed).
+
+    Runs whose per-launch record block would overflow the kernel's VMEM
+    budget (the kernel keeps (group · chunk_steps, 128) f32 record rows
+    resident) are transparently chained across launches, exactly like
+    ``sim.loop.simulate_fused_batch`` — the (seed, absolute-step) noise
+    indexing makes the chained fleet bitwise-equal to a single launch
+    (tests/test_sharding.py::test_sharded_fleet_chunked_matches_single).
     """
     from ..ops.pallas_sim import pallas_sim_run_batched
+    from ..sim.loop import _FUSED_MAX_STEPS
 
     n_data = mesh.shape[DATA_AXIS]
 
-    def _run_local(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0,
-                   eps=None):
-        b_local = q0.shape[0]
-        if group is None:
-            g = (next(gg for gg in (8, 4, 2, 1) if b_local % gg == 0)
-                 if cfg.num_samples <= 128 else 1)
-        else:
-            g = group
-        return pallas_sim_run_batched(
-            arm, cfg, sim, ref_path, q0, dq0, u_prev, wp_idx, seeds,
-            n_steps, eps=eps, interpret=interpret,
-            unroll_t=cfg.horizon <= 64, step0=step0, group=g)
+    def _pick_group(b_local: int) -> int:
+        if group is not None:
+            return group
+        return (next(gg for gg in (8, 4, 2, 1) if b_local % gg == 0)
+                if cfg.num_samples <= 128 else 1)
 
-    # two shard_map variants: production (in-kernel hardware PRNG — TPU
-    # only) and the injected-noise parity seam (CPU-testable: the
-    # interpreter can't lower prng_seed)
-    fn_prng = shard_map(
-        _run_local,
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        check_vma=False,
-    )
-    fn_eps = shard_map(
-        lambda r, q, dq, u, w, s, st, e: _run_local(r, q, dq, u, w, s, st,
-                                                    eps=e),
-        mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                  P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-        check_vma=False,
-    )
-    jit_prng = jax.jit(fn_prng)
-    jit_eps = jax.jit(fn_eps)
+    def _make_run_local(chunk_steps: int):
+        def _run_local(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0,
+                       eps=None):
+            return pallas_sim_run_batched(
+                arm, cfg, sim, ref_path, q0, dq0, u_prev, wp_idx, seeds,
+                chunk_steps, eps=eps, interpret=interpret,
+                unroll_t=cfg.horizon <= 64, step0=step0,
+                group=_pick_group(q0.shape[0]))
+        return _run_local
 
-    def checked(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0, eps=None):
-        if q0.shape[0] % n_data:
-            raise ValueError(
-                f"B={q0.shape[0]} is not divisible by the 'data' axis "
-                f"size {n_data}")
+    # two shard_map variants per chunk length: production (in-kernel
+    # hardware PRNG — TPU only) and the injected-noise parity seam
+    # (CPU-testable: the interpreter can't lower prng_seed)
+    _jitted = {}
+
+    def _build(chunk_steps: int):
+        if chunk_steps in _jitted:
+            return _jitted[chunk_steps]
+        run_local = _make_run_local(chunk_steps)
+        fn_prng = shard_map(
+            run_local,
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+        fn_eps = shard_map(
+            lambda r, q, dq, u, w, s, st, e: run_local(r, q, dq, u, w, s,
+                                                       st, eps=e),
+            mesh=mesh,
+            in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                      P(DATA_AXIS)),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        )
+        _jitted[chunk_steps] = (jax.jit(fn_prng), jax.jit(fn_eps))
+        return _jitted[chunk_steps]
+
+    def _launch(chunk_steps, ref_path, q0, dq0, u_prev, wp_idx, seeds,
+                step0, eps):
+        jit_prng, jit_eps = _build(chunk_steps)
         if eps is None:
             return jit_prng(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0)
         return jit_eps(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0, eps)
+
+    def checked(ref_path, q0, dq0, u_prev, wp_idx, seeds, step0, eps=None):
+        b = q0.shape[0]
+        if b % n_data:
+            raise ValueError(
+                f"B={b} is not divisible by the 'data' axis size {n_data}")
+        max_steps = max(1, _FUSED_MAX_STEPS // _pick_group(b // n_data))
+        if n_steps <= max_steps:
+            return _launch(n_steps, ref_path, q0, dq0, u_prev, wp_idx,
+                           seeds, step0, eps)
+        # chain launches, carrying per-scenario state between chunks; the
+        # absolute step advances only for live scenarios (frozen ones
+        # re-derive their freeze from the carried wp_idx/state)
+        q, dq, up = q0, dq0, u_prev
+        wp = jnp.asarray(wp_idx, jnp.int32)
+        st = jnp.broadcast_to(jnp.asarray(step0, jnp.int32), (b,))
+        parts, done = [], 0
+        while done < n_steps:
+            n = min(max_steps, n_steps - done)
+            e = None if eps is None else jnp.asarray(eps)[:, done:done + n]
+            rec, up = _launch(n, ref_path, q, dq, up, wp, seeds, st, e)
+            parts.append(rec)
+            q = rec[:, -1, 0:2]
+            dq = rec[:, -1, 2:4]
+            wp = rec[:, -1, 6].astype(jnp.int32)
+            st = st + jnp.sum(rec[:, :, 7] < 0.5, axis=1).astype(jnp.int32)
+            done += n
+        return jnp.concatenate(parts, axis=1), up
 
     return checked
 

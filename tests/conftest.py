@@ -33,11 +33,23 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def ref_path():
-    """The reference circle path (xydq_circle.txt, cols 0:4) as float64."""
+    """The reference circle path (xydq_circle.txt, cols 0:4) as float64.
+
+    Primary source: the copy embedded in the committed golden npz (the
+    exact input the golden run was executed with), so the suite is fully
+    self-contained; the reference mount and the synthesised circle are
+    fallbacks only.
+    """
+    golden = os.path.join(os.path.dirname(__file__), "data",
+                          "reference_golden_run.npz")
+    if os.path.exists(golden):
+        with np.load(golden) as d:
+            if "ref_path" in d:
+                return d["ref_path"]
     path = os.path.join("/root/reference", "xydq_circle.txt")
     if os.path.exists(path):
         return np.loadtxt(path)[:, 0:4]
-    # Self-contained fallback: synthesised circle path.
+    # Last-resort fallback: synthesised circle path.
     from mppi_robotarm_tpu.sim.paths import synth_circle_path
     return synth_circle_path(2000, dtype=np.float64)
 

@@ -221,6 +221,47 @@ def test_initialize_multihost_single_process_noop():
     initialize_multihost()          # idempotent
 
 
+def test_detect_multihost_env():
+    """The pod branch's env-var parsing, exercised with mocked environments
+    (round-2 W6 — no cluster needed to logic-test the bring-up)."""
+    from mppi_robotarm_tpu.parallel.mesh import detect_multihost_env
+
+    # nothing set -> all None (single-process default)
+    assert detect_multihost_env({}) == (None, None, None)
+
+    # full JAX_* trio
+    assert detect_multihost_env({
+        "JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234",
+        "JAX_NUM_PROCESSES": "4",
+        "JAX_PROCESS_ID": "2",
+    }) == ("10.0.0.1:1234", 4, 2)
+
+    # MPPI_* aliases take precedence over JAX_*
+    assert detect_multihost_env({
+        "MPPI_COORDINATOR_ADDRESS": "h0:99",
+        "JAX_COORDINATOR_ADDRESS": "other:1",
+        "MPPI_NUM_PROCESSES": "2",
+        "JAX_NUM_PROCESSES": "8",
+        "MPPI_PROCESS_ID": "1",
+        "JAX_PROCESS_ID": "7",
+    }) == ("h0:99", 2, 1)
+
+    # coordinator alone is fine (cluster plugin fills the rest)
+    assert detect_multihost_env(
+        {"JAX_COORDINATOR_ADDRESS": "h0:99"}) == ("h0:99", None, None)
+
+    # malformed integers must raise, naming the variable
+    with pytest.raises(ValueError, match="JAX_PROCESS_ID"):
+        detect_multihost_env({"JAX_PROCESS_ID": "two"})
+
+    # coordinator + only one of nproc/pid is an inconsistent launch
+    with pytest.raises(ValueError, match="incomplete multihost"):
+        detect_multihost_env({
+            "JAX_COORDINATOR_ADDRESS": "h0:99",
+            "JAX_NUM_PROCESSES": "4",
+        })
+
+
 def test_sharded_fleet_matches_unsharded(ref_path):
     """make_sharded_fleet ('data'-axis whole-loop fleet, stacked kernel per
     shard) is bitwise-equal to the unsharded batched kernel."""
@@ -262,3 +303,45 @@ def test_sharded_fleet_matches_unsharded(ref_path):
     with pytest.raises(ValueError, match="data"):
         fleet(ref, q0[:6], dq0[:6], up[:6], wp0[:6], seeds[:6], step0[:6],
               eps=eps[:6])
+
+
+def test_sharded_fleet_chunked_matches_single(ref_path, monkeypatch):
+    """A fleet run past the per-launch VMEM record budget is transparently
+    chained and equals the single-launch run (round-2 advisor finding: the
+    fleet path used to bypass sim.loop's auto-chunking)."""
+    from mppi_robotarm_tpu.config import SimConfig
+    import mppi_robotarm_tpu.sim.loop as loop_mod
+    from mppi_robotarm_tpu.parallel.sharded import make_sharded_fleet
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    sim = SimConfig()
+    mesh = make_mesh(samples=1)                 # data=8
+    B, steps = 8, 7
+    rng = np.random.default_rng(11)
+    q0 = jnp.asarray(np.tile(X0[:2], (B, 1))
+                     + rng.normal(scale=0.01, size=(B, 2)), jnp.float32)
+    dq0 = jnp.zeros((B, 2), jnp.float32)
+    up = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 6, 1))
+    wp0 = jnp.zeros(B, jnp.int32)
+    seeds = jnp.arange(B, dtype=jnp.int32)
+    step0 = jnp.zeros(B, jnp.int32)
+    ref = jnp.asarray(ref_path[:400], jnp.float32)
+    eps = jnp.asarray(rng.normal(size=(B, steps, 128, 6, 2))
+                      * np.sqrt(20.0), jnp.float32)
+
+    fleet_one = make_sharded_fleet(ARM, cfg, sim, mesh, steps,
+                                   interpret=True)
+    rec_one, ufin_one = fleet_one(ref, q0, dq0, up, wp0, seeds, step0,
+                                  eps=eps)
+
+    # Force the budget down so the same run must chain (1 scenario/shard
+    # -> group 1 -> 3-step chunks: 3 + 3 + 1).
+    monkeypatch.setattr(loop_mod, "_FUSED_MAX_STEPS", 3)
+    fleet_chunked = make_sharded_fleet(ARM, cfg, sim, mesh, steps,
+                                       interpret=True)
+    rec_c, ufin_c = fleet_chunked(ref, q0, dq0, up, wp0, seeds, step0,
+                                  eps=eps)
+
+    assert rec_c.shape == rec_one.shape
+    np.testing.assert_array_equal(np.asarray(rec_c), np.asarray(rec_one))
+    np.testing.assert_array_equal(np.asarray(ufin_c), np.asarray(ufin_one))

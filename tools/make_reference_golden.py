@@ -105,6 +105,9 @@ def main() -> None:
         wp_idx=np.array(wps, dtype=np.int64), x0=x0,
         seed=args.seed, dt=dt, delta_t=dt * 2, horizon=30, num_samples=100,
         lam=100.0, alpha=0.98, sigma_diag=20.0,
+        # the run's input path rides along so the test suite is fully
+        # self-contained (no dependency on the read-only reference mount)
+        ref_path=ref_path,
     )
     print(f"wrote {out}: {len(qs)} steps")
 

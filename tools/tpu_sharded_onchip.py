@@ -1,0 +1,221 @@
+"""Execute the SHARDED production programs on the real TPU chip.
+
+Round-2 gap: every `make_sharded_sim_step(backend='pallas', noise='prng')`
+and `make_sharded_fleet` run so far was CPU-interpret + threefry — the exact
+shard_map × Mosaic-kernel × hardware-PRNG composition a pod would execute
+had never touched hardware.  A single chip still forms a 1×1
+('data','samples') mesh, which runs the full production code path
+(shard_map partitioning, axis_index/fold_in seed derivation, the pmin/psum
+collectives as size-1-axis no-ops, the fused kernel with in-kernel hardware
+PRNG) — so lowering surprises surface here, not on a pod.
+
+Three gates, all on the real chip:
+
+  1. sharded sim step (pallas + hardware PRNG) vs a manual UNSHARDED
+     invocation of the identical kernel/glue with the same derived seeds —
+     expected BITWISE state/wp equality over all steps (the three
+     collectives are exact no-ops on a size-1 axis).
+  2. sharded whole-loop fleet (hardware PRNG) vs the unsharded
+     pallas_sim_run_batched with the same seeds — expected BITWISE.
+  3. sharded pallas(threefry) vs sharded xla — identical noise stream,
+     kernel-vs-XLA summation order only; tolerance-gated per step like
+     tests/test_sharding.py::test_sharded_sim_step_pallas_matches_xla.
+
+    python tools/tpu_sharded_onchip.py [B] [steps]
+"""
+
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig, SimConfig  # noqa: E402
+from mppi_robotarm_tpu.models.arm import arm_ddq, fk_ee  # noqa: E402
+from mppi_robotarm_tpu.mppi.solver import shift_warm_start  # noqa: E402
+from mppi_robotarm_tpu.ops.filters import median_filter_reflect  # noqa: E402
+from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched  # noqa: E402
+from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched  # noqa: E402
+from mppi_robotarm_tpu.ops.waypoint import update_waypoint_index  # noqa: E402
+from mppi_robotarm_tpu.parallel.mesh import make_mesh  # noqa: E402
+from mppi_robotarm_tpu.parallel.sharded import (  # noqa: E402
+    make_sharded_fleet, make_sharded_sim_step)
+from mppi_robotarm_tpu.sim.paths import synth_circle_path  # noqa: E402
+
+
+def unsharded_step_fn(arm, cfg, sim):
+    """make_sharded_sim_step's pallas/prng body WITHOUT shard_map.
+
+    Mirrors parallel/sharded.py `_per_device` + `_solve_local_pallas` with
+    the size-1-axis values substituted (shard=0, n_shards=1, scale=1):
+    pmin/psum of one element are identity, exp(0)·x = x exactly, so the
+    sharded program must match this BITWISE on the same chip.
+    """
+    K, lam = cfg.num_samples, jnp.float32(cfg.lam)
+
+    def _plant(qi, dqi, u0):
+        d = jnp.asarray(sim.disturbance, dtype=qi.dtype)
+        dd1, dd2 = arm_ddq(qi[0], qi[1], dqi[0], dqi[1],
+                           u0[0] + d[0], u0[1] + d[1], arm)
+        dq_new = dqi + sim.dt * jnp.stack([dd1, dd2])
+        return qi + sim.dt * dq_new, dq_new
+
+    @jax.jit
+    def step(ref_path, q, dq, u_prev, wp_idx, keys):
+        b = q.shape[0]
+        folded = jax.vmap(lambda ki: jax.random.fold_in(
+            jax.random.wrap_key_data(ki), 0))(keys)       # shard index 0
+        seeds = jax.vmap(lambda k: jax.random.randint(
+            k, (2,), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32))(folded)
+        observed = jnp.concatenate([q, dq], axis=-1)
+
+        def _wp(wi, obs):
+            x_o, y_o = fk_ee(obs[0], obs[1], cfg.l1, cfg.l2)
+            return update_waypoint_index(ref_path, wi, x_o, y_o,
+                                         cfg.search_idx_len, cfg.dist_scale)
+
+        wp_new, window, valid = jax.vmap(_wp)(wp_idx, observed)
+        path_end = wp_new >= ref_path.shape[0] - 1
+        nvalid = jnp.sum(valid.astype(jnp.float32), axis=-1)
+        a, s, _, (m, eta) = pallas_solve_batched(
+            arm, cfg, observed.astype(jnp.float32),
+            u_prev.astype(jnp.float32), window, nvalid,
+            seed=seeds[:, 0], step=seeds[:, 1], k_local=K, normalize=False,
+            k_offset=jnp.zeros((b,), jnp.float32), emit_eps=False)
+        w_eps_raw = (a / eta[:, None, None]).astype(u_prev.dtype)
+        w_eps = jax.vmap(lambda x: median_filter_reflect(
+            x, cfg.filter_window))(w_eps_raw)
+        u_seq = u_prev + w_eps
+        u_next = jax.vmap(shift_warm_start)(u_seq)
+        u0 = u_next[:, 0].astype(q.dtype)
+        q_new, dq_new = jax.vmap(_plant)(q, dq, u0)
+        keep = lambda new, old: jnp.where(
+            path_end.reshape(path_end.shape + (1,) * (new.ndim - 1)),
+            old, new)
+        return (keep(q_new, q), keep(dq_new, dq),
+                keep(u_next.astype(u_prev.dtype), u_prev),
+                jnp.where(path_end, wp_idx, wp_new), path_end, u0)
+
+    return step
+
+
+def main():
+    B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    dev = jax.devices()
+    print("devices:", dev, flush=True)
+    assert dev[0].platform == "tpu", "this tool needs the real chip"
+    mesh = make_mesh(data=1, samples=1, devices=dev[:1])
+
+    arm, sim = ArmParams(), SimConfig()
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=1024, horizon=50)
+    ref = jnp.asarray(synth_circle_path(2000))
+    rng = np.random.default_rng(5)
+    q0 = jnp.asarray(np.tile([1.1522, -1.2661], (B, 1))
+                     + rng.normal(scale=0.01, size=(B, 2)), jnp.float32)
+    dq0 = jnp.zeros((B, 2), jnp.float32)
+    up0 = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                   (B, cfg.horizon, 1))
+    wp0 = jnp.zeros(B, jnp.int32)
+    results = {}
+
+    # ---- gate 1: sharded sim step, pallas + hardware PRNG ---------------
+    f_shard = make_sharded_sim_step(arm, cfg, sim, mesh, backend="pallas",
+                                    noise="prng")
+    f_plain = unsharded_step_fn(arm, cfg, sim)
+    key = jax.random.PRNGKey(17)
+    sa = (q0, dq0, up0, wp0)
+    sb = (q0, dq0, up0, wp0)
+    bit_q = bit_wp = 0
+    max_dq = 0.0
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        keys = jax.random.key_data(
+            jax.vmap(lambda s: jax.random.fold_in(sub, s))(
+                jnp.arange(B))).astype(jnp.uint32)
+        qa, dqa, upa, wpa, da, _ = f_shard(ref, *sa, keys)
+        qb, dqb, upb, wpb, db, _ = f_plain(ref, *sb, keys)
+        if np.array_equal(np.asarray(qa), np.asarray(qb)):
+            bit_q += 1
+        if np.array_equal(np.asarray(wpa), np.asarray(wpb)):
+            bit_wp += 1
+        max_dq = max(max_dq, float(np.abs(np.asarray(qa)
+                                          - np.asarray(qb)).max()))
+        sa = (qa, dqa, upa, wpa)
+        sb = (qb, dqb, upb, wpb)
+    wp_end = np.asarray(sa[3])
+    results["sharded_prng_step"] = {
+        "steps": steps, "B": B, "K": cfg.num_samples,
+        "bitwise_q_steps": bit_q, "bitwise_wp_steps": bit_wp,
+        "max_abs_q_diff": max_dq,
+        "wp_end_min": int(wp_end.min()), "wp_end_max": int(wp_end.max()),
+    }
+    print("gate 1 (sharded prng step vs unsharded, 1x1 mesh):",
+          results["sharded_prng_step"], flush=True)
+    assert bit_q == steps and bit_wp == steps, "sharded != unsharded"
+    assert wp_end.min() >= 1, "waypoint schedule did not advance"
+
+    # ---- gate 2: sharded whole-loop fleet, hardware PRNG ------------------
+    cfg_f = dataclasses.replace(cfg, num_samples=128, horizon=30)
+    up_f = jnp.tile(jnp.asarray(cfg_f.warm_start, jnp.float32),
+                    (B, cfg_f.horizon, 1))
+    seeds = jnp.arange(41, 41 + B, dtype=jnp.int32)
+    step0 = jnp.zeros(B, jnp.int32)
+    fleet = make_sharded_fleet(arm, cfg_f, sim, mesh, steps)
+    rec_s, ufin_s = jax.block_until_ready(
+        fleet(ref, q0, dq0, up_f, wp0, seeds, step0))
+    g = next(gg for gg in (8, 4, 2, 1) if B % gg == 0)
+    rec_u, ufin_u = jax.block_until_ready(pallas_sim_run_batched(
+        arm, cfg_f, sim, ref, q0, dq0, up_f, wp0, seeds, steps,
+        unroll_t=True, step0=step0, group=g))
+    rec_eq = np.array_equal(np.asarray(rec_s), np.asarray(rec_u))
+    ufin_eq = np.array_equal(np.asarray(ufin_s), np.asarray(ufin_u))
+    results["sharded_fleet"] = {
+        "steps": steps, "B": B, "K": cfg_f.num_samples, "group": g,
+        "records_bitwise": bool(rec_eq), "u_final_bitwise": bool(ufin_eq),
+    }
+    print("gate 2 (sharded fleet vs unsharded kernel):",
+          results["sharded_fleet"], flush=True)
+    assert rec_eq and ufin_eq
+
+    # ---- gate 3: sharded pallas(threefry) vs sharded xla, ON CHIP --------
+    cfg_t = dataclasses.replace(cfg, num_samples=256, horizon=20)
+    up_t = jnp.tile(jnp.asarray(cfg_t.warm_start, jnp.float32),
+                    (B, cfg_t.horizon, 1))
+    f_xla = make_sharded_sim_step(arm, cfg_t, sim, mesh)
+    f_pal = make_sharded_sim_step(arm, cfg_t, sim, mesh, backend="pallas",
+                                  noise="threefry")
+    sa = (q0, dq0, up_t, wp0)
+    sb = (q0, dq0, up_t, wp0)
+    key = jax.random.PRNGKey(3)
+    n3 = min(steps, 6)
+    for i in range(n3):
+        key, sub = jax.random.split(key)
+        keys = jax.random.key_data(
+            jax.vmap(lambda s: jax.random.fold_in(sub, s))(
+                jnp.arange(B))).astype(jnp.uint32)
+        qa, dqa, upa, wpa, _, _ = f_xla(ref, *sa, keys)
+        qb, dqb, upb, wpb, _, _ = f_pal(ref, *sb, keys)
+        tol = 1e-5 * 4 ** i
+        dq_i = float(np.abs(np.asarray(qa) - np.asarray(qb)).max())
+        assert dq_i < tol, (i, dq_i, tol)
+        assert np.array_equal(np.asarray(wpa), np.asarray(wpb)), i
+        sa = (qa, dqa, upa, wpa)
+        sb = (qb, dqb, upb, wpb)
+    results["sharded_threefry_vs_xla"] = {"steps": n3, "ok": True}
+    print("gate 3 (sharded pallas/threefry vs sharded xla on chip): ok",
+          flush=True)
+
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
