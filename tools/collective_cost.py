@@ -10,7 +10,15 @@ elide_collectives=True)`) — two programs identical in every shard-local op,
 layout, and scheduling constraint except the cross-shard exchanges.  Both
 suffer the same core starvation; the gap is the collectives' cost.
 
-    python tools/collective_cost.py [reps]
+Methodology (the starved host jitters ±10%, so a naive min-of-N diff can go
+negative): each timed rep runs a CHAIN of solves inside one jit (warm-start
+threaded forward so nothing dead-codes), A/B reps strictly INTERLEAVED so
+drift cancels, and the estimate is the median of paired (with − without)
+differences with its IQR as the noise bar.  When the IQR straddles zero the
+honest claim is an upper bound: the collectives cost less than the host's
+noise floor.
+
+    python tools/collective_cost.py [pairs] [chain]
 
 Prints a markdown table of µs/solve collective overhead per samples-axis
 width plus the payload bytes, and a JSON line for the docs.
@@ -42,19 +50,21 @@ from mppi_robotarm_tpu.parallel.sharded import make_sharded_solve  # noqa: E402
 from mppi_robotarm_tpu.sim.paths import synth_circle_path  # noqa: E402
 
 
-def time_fn(fn, args, reps):
-    out = fn(*args)
-    jax.block_until_ready(out)              # compile + warmup
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
-    return min(times)
+def chained(solve_fn, chain):
+    """Chain `chain` solves in one jit, feeding u_prev_next forward."""
+    def run(ref, obs, up, wp, eps):
+        def body(carry, _):
+            up_c, wp_c = carry
+            out = solve_fn(ref, obs, up_c, wp_c, eps)
+            return (out[2], out[3]), out[0][0, 0]
+        (_, _), u0s = jax.lax.scan(body, (up, wp), None, length=chain)
+        return u0s
+    return jax.jit(run)
 
 
 def main():
-    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 30
+    pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 24
+    chain = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     arm = ArmParams()
     cfg = dataclasses.replace(MPPIConfig(), num_samples=4096, horizon=50)
     ref = jnp.asarray(synth_circle_path(2000))
@@ -70,39 +80,55 @@ def main():
     # per solve: pmin(f32) + psum(f32) + psum((T,2) f32), each an
     # all-reduce over the samples axis
     payload = 4 + 4 + cfg.horizon * 2 * 4
+    args = (ref, obs, up, wp, eps)
 
     rows = []
     for n in (2, 4, 8):
-        mesh = make_mesh(data=1, samples=n)
-        f_coll = make_sharded_solve(arm, cfg, mesh)
-        f_free = make_sharded_solve(arm, cfg, mesh, elide_collectives=True)
-        args = (ref, obs, up, wp, eps)
-        t_coll = time_fn(f_coll, args, reps)
-        t_free = time_fn(f_free, args, reps)
+        mesh = make_mesh(data=1, samples=n, devices=jax.devices()[:n])
+        f_coll = chained(make_sharded_solve(arm, cfg, mesh), chain)
+        f_free = chained(
+            make_sharded_solve(arm, cfg, mesh, elide_collectives=True),
+            chain)
+        jax.block_until_ready(f_coll(*args))      # compile + warmup
+        jax.block_until_ready(f_free(*args))
+        diffs = []
+        t_base = []
+        for _ in range(pairs):                    # strictly interleaved A/B
+            t0 = time.perf_counter()
+            jax.block_until_ready(f_coll(*args))
+            t1 = time.perf_counter()
+            jax.block_until_ready(f_free(*args))
+            t2 = time.perf_counter()
+            diffs.append(((t1 - t0) - (t2 - t1)) / chain)
+            t_base.append((t1 - t0) / chain)
+        med = float(np.median(diffs))
+        q1, q3 = np.percentile(diffs, [25, 75])
+        base = float(np.median(t_base))
         rows.append({
             "samples_axis": n,
-            "ms_with_collectives": round(t_coll * 1e3, 3),
-            "ms_collectives_elided": round(t_free * 1e3, 3),
-            "collective_overhead_us": round((t_coll - t_free) * 1e6, 1),
-            "overhead_frac": round(max(0.0, t_coll - t_free) / t_coll, 4),
+            "ms_per_solve": round(base * 1e3, 3),
+            "collective_cost_us_median": round(med * 1e6, 1),
+            "iqr_us": [round(q1 * 1e6, 1), round(q3 * 1e6, 1)],
+            "resolved": bool(q1 > 0 or q3 < 0),
         })
-        print(f"samples={n}: {t_coll * 1e3:.3f} ms with vs "
-              f"{t_free * 1e3:.3f} ms without -> "
-              f"{(t_coll - t_free) * 1e6:+.1f} us/solve collective cost",
-              flush=True)
+        tag = ("" if rows[-1]["resolved"]
+               else "  (below noise floor — bound, not a measurement)")
+        print(f"samples={n}: {base * 1e3:.3f} ms/solve; collective cost "
+              f"median {med * 1e6:+.1f} us/solve, IQR "
+              f"[{q1 * 1e6:+.1f}, {q3 * 1e6:+.1f}]{tag}", flush=True)
 
-    print("\n| samples axis | ms/solve (with) | ms/solve (elided) | "
-          "collective cost (µs/solve) | fraction |")
+    print("\n| samples axis | ms/solve | collective cost (µs/solve, median "
+          "of interleaved A/B diffs) | IQR (µs) | resolved above noise? |")
     print("|---|---|---|---|---|")
     for r in rows:
-        print(f"| {r['samples_axis']} | {r['ms_with_collectives']} | "
-              f"{r['ms_collectives_elided']} | "
-              f"{r['collective_overhead_us']} | "
-              f"{r['overhead_frac'] * 100:.1f}% |")
+        print(f"| {r['samples_axis']} | {r['ms_per_solve']} | "
+              f"{r['collective_cost_us_median']} | "
+              f"[{r['iqr_us'][0]}, {r['iqr_us'][1]}] | "
+              f"{'yes' if r['resolved'] else 'no'} |")
     print()
     print(json.dumps({"K": cfg.num_samples, "T": cfg.horizon,
-                      "payload_bytes_per_solve": payload, "reps": reps,
-                      "rows": rows}))
+                      "payload_bytes_per_solve": payload, "pairs": pairs,
+                      "chain": chain, "rows": rows}))
 
 
 if __name__ == "__main__":
