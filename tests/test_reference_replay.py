@@ -112,3 +112,36 @@ def test_full_run_error_distribution(golden, replay, ref_path):
     assert 1 / 1.5 < ratio2 < 1.5, f"step-aligned RMS ratio {ratio2:.2f}"
     # both complete the revolution: final wp indices within 5% of the path
     assert abs(int(wp_b[-1]) - int(golden["wp_idx"][-1])) < 0.05 * len(ref_path)
+
+
+def test_f32_production_tracking_distribution(golden, ref_path):
+    """Distributional regression gate for the f32 PRODUCTION path (r2 W2).
+
+    The bitwise/f64 replay above covers the injected-noise seam only; this
+    runs the actual production configuration — threefry noise, float32,
+    scan-compiled `simulate` (PARITY_RUN.md run C) — for 2 seeds x 500
+    steps and gates the lag-free on-path EE error.  Calibration: the
+    on-chip 8-seed sweep of this exact configuration (round 3,
+    tools/tpu_seed_sweep.py 8 1500 xla) spans 10.97-30.69 mm on-path mean
+    over the full 1500-step run; a healthy 500-step prefix sits well under
+    45 mm, while a semantics regression (wrong waypoint freeze, broken
+    warm start, mis-scaled noise) blows through it.
+    """
+    import jax
+    from mppi_robotarm_tpu.sim.loop import init_sim, simulate
+
+    arm, cfg, sim = ArmParams(), MPPIConfig(), SimConfig()
+    rp = jnp.asarray(ref_path, jnp.float32)
+    steps = 500
+    refn = np.asarray(ref_path)
+    for seed in (0, 1):
+        s0 = init_sim(cfg, sim, jax.random.PRNGKey(seed))
+        final, rec = simulate(arm, cfg, sim, rp, s0, steps)
+        assert not bool(np.asarray(rec.done)[-1])
+        st = tracking_errors(np.asarray(rec.ee), refn[1:steps + 1, 0:2],
+                             full_path=refn)
+        onpath_mm = st["onpath_mean_m"] * 1e3
+        assert np.isfinite(onpath_mm) and onpath_mm < 45.0, (seed, onpath_mm)
+        # the wp schedule must advance roughly one waypoint per step
+        wp_end = int(np.asarray(rec.wp_idx)[-1])
+        assert 0.5 * steps < wp_end < 1.6 * steps, wp_end
