@@ -120,7 +120,7 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
 
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                    cfg: MPPIConfig, window_len: int, unroll: bool = False,
-                   xy=None):
+                   xy=None, masked: bool = False):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
@@ -131,6 +131,17 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
     K ≤ 1024 the tile is a single vreg and the rollout is latency-bound, so
     serial depth — not op count — sets the kernel's speed.  Rolled mode
     (``fori_loop``, linear chain) is kept for small-compile-time contexts.
+
+    ``masked=False`` (default, unrolled mode only) skips the per-leaf
+    truncation mask — VALUE-IDENTICAL to the masked scan, cheaper by W
+    selects per call: every window is a CLAMPED gather (slice_window /
+    refresh_window pin rows past the path end to the last path row), so an
+    "invalid" leaf duplicates the last VALID leaf exactly; under strict-<
+    first-win ties the earlier valid leaf wins, and even when a duplicate
+    wins its (d, b0..b3) tuple is bit-equal to the valid row's.  The
+    ``nvalid`` argument is ignored in that mode (kept for call-site
+    stability); rolled mode always masks.  A/B'd bitwise + on-chip in
+    tools/tpu_mask_ablate.py (round-3 waypoint-scan optimization).
     """
     if xy is None:
         x = cfg.l1 * jnp.cos(q1) + cfg.l2 * jnp.cos(q1 + q2)
@@ -147,7 +158,8 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
             dx = x - win_ref[j, 0]
             dy = y - win_ref[j, 1]
             d = (dx * dx + dy * dy) * cfg.dist_scale
-            d = jnp.where(jnp.float32(j) < nvalid, d, inf)
+            if masked:
+                d = jnp.where(jnp.float32(j) < nvalid, d, inf)
             return (d, win_ref[j, 0], win_ref[j, 1],
                     win_ref[j, 2], win_ref[j, 3])
 
@@ -164,12 +176,16 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                 nxt.append(nodes[-1])
             nodes = nxt
         best_d, b0, b1, b2, b3 = nodes[0]
-        # all-invalid window: the sequential scan leaves the zero init values
-        sel = best_d < inf
-        b0 = jnp.where(sel, b0, zero)
-        b1 = jnp.where(sel, b1, zero)
-        b2 = jnp.where(sel, b2, zero)
-        b3 = jnp.where(sel, b3, zero)
+        if masked:
+            # all-invalid window: the sequential scan leaves the zero init
+            # values (unmasked mode can't produce inf: clamped windows give
+            # every leaf a finite d, and nvalid >= 1 always — the frozen
+            # index never exceeds n-1)
+            sel = best_d < inf
+            b0 = jnp.where(sel, b0, zero)
+            b1 = jnp.where(sel, b1, zero)
+            b2 = jnp.where(sel, b2, zero)
+            b3 = jnp.where(sel, b3, zero)
     else:
         def body(j, c):
             best_d, b0, b1, b2, b3 = c

@@ -328,3 +328,39 @@ def test_unroll_variants_truncated_window(ref_path, rng):
         outs.append((np.asarray(w_eps), np.asarray(s)))
     np.testing.assert_allclose(outs[0][1], outs[1][1], rtol=3e-7)
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=3e-7, atol=1e-6)
+
+
+def test_unmasked_window_scan_bitwise(ref_path, rng):
+    """The unmasked tournament scan (round-3 default) is BIT-IDENTICAL to
+    the masked one, including truncated windows at the path end: clamped
+    windows duplicate the last valid row, and strict-< first-win ties make
+    the duplicate's (d, values) tuple equal the valid row's.  Pins the
+    value-identity argument in _tracking_cost's docstring."""
+    import functools
+    from mppi_robotarm_tpu.ops import pallas_rollout as pr
+
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=6)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(256, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    n = ref_path.shape[0]
+    orig = pr._tracking_cost
+    for start in (0, n - 4, n - 1):      # full, truncated, single-row window
+        window, valid = slice_window(jnp.asarray(ref_path, jnp.float32),
+                                     start, cfg.search_idx_len)
+        nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+        outs = {}
+        for masked in (False, True):
+            pr._tracking_cost = functools.partial(orig, masked=masked)
+            try:
+                w_eps, s, _ = pallas_solve_core(
+                    ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window,
+                    nvalid, eps=jnp.asarray(eps), interpret=True,
+                    unroll_w=True)
+            finally:
+                pr._tracking_cost = orig
+            outs[masked] = (np.asarray(w_eps), np.asarray(s))
+        np.testing.assert_array_equal(outs[False][1], outs[True][1],
+                                      err_msg=f"S differs at start={start}")
+        np.testing.assert_array_equal(outs[False][0], outs[True][0],
+                                      err_msg=f"weps differs at start={start}")

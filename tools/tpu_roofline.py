@@ -177,8 +177,7 @@ def main():
     u0 = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
                   (cfg.horizon, 1))
 
-    @jax.jit
-    def chain(n):
+    def chain(n):                      # n is a static scan length
         def body(c, _):
             u, seed = c
             w_eps, s, _ = pallas_solve_core(
