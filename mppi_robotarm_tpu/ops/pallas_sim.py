@@ -37,7 +37,13 @@ the whole step body a single schedulable region the per-scenario Q6 freeze
 is BRANCHLESS: every scenario computes every step and a frozen scenario's
 state/control/record writes are masked with its done flag instead of
 `pl.when` (regions would serialize the chains the group axis tries to
-overlap).  Per-scenario results are bitwise-identical to the group=1 kernel
+overlap).  The one branch kept is GROUP-level: when every scenario in the
+group is frozen there is nothing left to overlap, so the entire solve
+phase (noise, rollout, softmax, control update) sits in a single
+``pl.when(any_active)`` region and steps past the path end cost only the
+waypoint check + record write — a run whose path ends early no longer
+burns full solve cost for every remaining step (round-2 advisor finding).
+Per-scenario results are bitwise-identical to the group=1 kernel
 (same ops, same order, per scenario — verified in tests/test_pallas_sim.py).
 Measured outcome (see pallas_sim_run_batched): the step is issue-bound, so
 grouping buys only ~5-7% — kept as an opt-in knob, default 1.
@@ -98,12 +104,15 @@ class _WinView:
 
 
 def _init_scalar_state(st_ref, scalars_ref, n_scen: int) -> None:
-    """Load [q1,q2,dq1,dq2, wp_idx] into SMEM scratch; clear done flags."""
+    """Load [q1,q2,dq1,dq2, wp_idx] into SMEM scratch; clear done flags and
+    any stat slots past index 5 (read before first write when a scenario
+    enters already frozen)."""
     for g in range(n_scen):
         for i in range(4):
             st_ref[g, i] = scalars_ref[g, 0, i]
         st_ref[g, 4] = scalars_ref[g, 0, 4]   # wp_idx as f32
-        st_ref[g, 5] = jnp.float32(0.0)       # done flag
+        for i in range(5, st_ref.shape[1]):
+            st_ref[g, i] = jnp.float32(0.0)   # done flag + stats
 
 
 def _refresh_window(g, widx, ref_ref, win_ref, n_ref, W: int, unroll: bool):
@@ -234,7 +243,10 @@ def _sim_kernel(
     u_rows,        # VMEM (G, 2T, 128) scratch: current control rows
     eps_buf,       # VMEM (G, 2T, sub, 128) scratch, DIM-MAJOR rows (c·T+t)
     win_ref,       # SMEM (G, W, 4) scratch: current waypoint windows
-    st_ref,        # SMEM (G, 8) scratch: [q1,q2,dq1,dq2, wp_idx(f), done(f)]
+    st_ref,        # SMEM (G, 12) scratch: [q1,q2,dq1,dq2, wp_idx(f),
+                   # done(f), cost_min, cost_mean, ess, ent, pad, pad] —
+                   # slots 6:10 carry the solve stats across the group
+                   # all-frozen pl.when boundary
     eps_sem,       # DMA semaphore for the injected-noise step copies
     *,
     arm: ArmParams,
@@ -270,8 +282,16 @@ def _sim_kernel(
 
     def step_body(step, _):
         # ---- per-scenario waypoint-index advance (control.py:75, Q5) ----
-        # Branchless Q6: ``frozen`` masks every state/control/record write
-        # below instead of gating the solve in a pl.when region.
+        # Branchless Q6 PER SCENARIO: ``frozen`` masks every state/control/
+        # record write below instead of gating each scenario's solve in its
+        # own pl.when region (which would serialize the chains the group
+        # axis overlaps).  The GROUP-level all-frozen case is different:
+        # once every scenario has hit its path end there is nothing left to
+        # overlap, so the whole solve phase is skipped via one pl.when —
+        # an endurance run past the path end stops paying full solve cost
+        # per step (round-2 advisor finding).  Stats cross the region
+        # boundary through st_ref[g, 6:10]; stale values are masked to
+        # zero in the record row by ``frozen``.
         frozen = [None] * G      # scalar bool per scenario
         wp_lane = [None] * G     # f32 wp_idx for this step's record row
         nvalid = [None] * G
@@ -279,7 +299,26 @@ def _sim_kernel(
         for g in range(G):
             frozen[g], wp_lane[g], nvalid[g], old_st[g] = _wp_advance_scalar(
                 g, st_ref, win_ref, ref_ref, n_ref, cfg, unroll_t)
+        any_active = jnp.logical_not(frozen[0])
+        for g in range(1, G):
+            any_active = jnp.logical_or(any_active,
+                                        jnp.logical_not(frozen[g]))
 
+        @pl.when(any_active)
+        def _solve_phase():
+            _solve_step_impl(step, frozen, nvalid)
+
+        # ---- plant step + record row (shared scalar phase; runs even when
+        # the solve was skipped — frozen rows must still be recorded) ------
+        for g in range(G):
+            _plant_record_scalar(
+                g, step, st_ref, rec_ref, frozen[g], wp_lane[g], old_st[g],
+                (u_rows[g, 0, 0], u_rows[g, T, 0]),
+                (st_ref[g, 6], st_ref[g, 7], st_ref[g, 8], st_ref[g, 9]),
+                dist, dt_p, arm, lane_iota)
+        return 0
+
+    def _solve_step_impl(step, frozen, nvalid):
         # ---- noise (per-scenario streams; reseed keeps the stream of the
         # group=1 kernel exactly) ------------------------------------------
         if use_prng:
@@ -466,13 +505,12 @@ def _sim_kernel(
                      jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
                 u_rows[g, pl.ds(base, T)] = jnp.where(frz, cur, shifted)
 
-            # ---- plant step + record row (shared scalar phase) ------------
-            _plant_record_scalar(
-                g, step, st_ref, rec_ref, frz, wp_lane[g], old_st[g],
-                (u_rows[g, 0, 0], u_rows[g, T, 0]),
-                (cost_min, cost_mean, ess, ent), dist, dt_p, arm, lane_iota)
-
-        return 0
+            # stats cross the pl.when boundary through SMEM (read by the
+            # plant/record phase outside; exact f32 round-trip)
+            st_ref[g, 6] = cost_min
+            st_ref[g, 7] = cost_mean
+            st_ref[g, 8] = ess
+            st_ref[g, 9] = ent
 
     jax.lax.fori_loop(0, n_steps, step_body, 0)
     ufin_ref[...] = u_rows[...]
@@ -578,7 +616,29 @@ def _sim_kernel_stacked(
         for g in range(S):
             frozen[g], wp_lane[g], nvalid[g], old_st[g] = _wp_advance_scalar(
                 g, st_ref, win_ref, ref_ref, n_ref, cfg, unroll_t)
+        any_active = jnp.logical_not(frozen[0])
+        for g in range(1, S):
+            any_active = jnp.logical_or(any_active,
+                                        jnp.logical_not(frozen[g]))
 
+        # group all-frozen: skip the whole solve phase (see _sim_kernel);
+        # stats cross the boundary via the stat_buf VMEM scratch
+        @pl.when(any_active)
+        def _solve_phase():
+            _solve_step_impl(step, frozen, nvalid)
+
+        # ---- plant step + record rows (SHARED scalar phase; also runs
+        # for all-frozen steps — their rows must still be recorded) --------
+        for g in range(S):
+            _plant_record_scalar(
+                g, step, st_ref, rec_ref, frozen[g], wp_lane[g], old_st[g],
+                (u_rows[0, g, 0], u_rows[T, g, 0]),
+                (stat_buf[0, g, 0], stat_buf[1, g, 0],
+                 stat_buf[2, g, 0], stat_buf[3, g, 0]),
+                dist, dt_p, arm, lane_iota)
+        return 0
+
+    def _solve_step_impl(step, frozen, nvalid):
         # ---- stacked per-step constants ----------------------------------
         nv_vec = stackf(nvalid)
         # float 0/1 rows then compare — a bool (S,128) built by scalar
@@ -721,17 +781,6 @@ def _sim_kernel_stacked(
                  jax.lax.slice_in_dim(unew, T - 1, T)], axis=0)
             u_rows[pl.ds(base, T)] = jnp.where(frz3, cur, shifted)
 
-        # ---- plant step + record rows (SHARED scalar phase) ---------------
-        for g in range(S):
-            _plant_record_scalar(
-                g, step, st_ref, rec_ref, frozen[g], wp_lane[g], old_st[g],
-                (u_rows[0, g, 0], u_rows[T, g, 0]),
-                (stat_buf[0, g, 0], stat_buf[1, g, 0],
-                 stat_buf[2, g, 0], stat_buf[3, g, 0]),
-                dist, dt_p, arm, lane_iota)
-
-        return 0
-
     jax.lax.fori_loop(0, n_steps, step_body, 0)
     ufin_ref[...] = u_rows[...]
 
@@ -864,7 +913,7 @@ def pallas_sim_run_batched(
             pltpu.VMEM((G, 2 * T, _LANES), jnp.float32),       # u_rows
             pltpu.VMEM((G, 2 * T, sub, _LANES), jnp.float32),  # eps_buf
             pltpu.SMEM((G, cfg.search_idx_len, 4), jnp.float32),
-            pltpu.SMEM((G, 8), jnp.float32),
+            pltpu.SMEM((G, 12), jnp.float32),   # state + done + stat slots
             pltpu.SemaphoreType.DMA,
         ]
 
