@@ -112,10 +112,20 @@ def main() -> None:
                   file=sys.stderr)
 
     # Sanity: the run must actually track (guards against a degenerate bench).
-    # On-path (lag-free) EE error over the first 1500 live steps, bounded at
-    # 15 mm mean — the measured realization spread is 6-16 mm (PARITY_RUN.md),
-    # so a fast-but-3x-worse kernel regression fails here, not just a
-    # non-tracking run (round-2 W5).
+    # On-path (lag-free) EE error over the first 1500 live steps.  Gate
+    # calibrated at THIS exact configuration (K=1024, H=50, 8000-pt synth
+    # path, 4000-step chain): 8-seed on-chip spread 8.4-31.7 mm, mean 21.0
+    # (tools/tpu_bench_gate_sweep.py, 2026-08-20; docs/PARITY_RUN.md) ->
+    # gate = max + 30% margin = 42 mm.  H=50 tracks ~2x worse than the H=30
+    # parity config by MECHANISM, not defect: the Q2 controller-model
+    # timestep (delta_t = 0.006 = 2x plant dt, reference control.py:256-259)
+    # compounds over the 0.3 s lookahead — proven by the delta_t=0.003
+    # control experiment (6.1 mm at H=50) and by refuting the window
+    # (W 30->240: flat), density (2000 vs 8000 pt at H=30: identical) and
+    # sample-sparsity (K=4096: no change) hypotheses.  See
+    # tools/tpu_window_sweep.py / tools/tpu_horizon_sweep.py outputs in
+    # docs/PARITY_RUN.md.  The round-3 gate (15 mm) was calibrated on the
+    # H=30 config and failed every seed here.
     rec = out[1]
     ee = np.asarray(rec.ee)
     live = ~np.asarray(rec.done)
@@ -127,9 +137,10 @@ def main() -> None:
         on_path[i:i + 256] = d.min(axis=1)
     assert np.isfinite(solves_per_s) and len(ee) >= 1000, (
         solves_per_s, len(ee))
-    assert on_path.mean() < 0.015, (
+    assert on_path.mean() < 0.042, (
         f"degenerate bench run: on-path EE error {on_path.mean() * 1e3:.1f} "
-        f"mm mean (gate 15 mm)")
+        f"mm mean (gate 42 mm; 8-seed calibration 8.4-31.7 mm at this exact "
+        f"config)")
 
     print(json.dumps({
         "metric": "mppi_solves_per_s_per_chip_K1024_H50",
