@@ -98,7 +98,8 @@ def detect_multihost_env(environ=None):
 
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
-                         process_id: Optional[int] = None) -> None:
+                         process_id: Optional[int] = None,
+                         initialization_timeout: Optional[int] = None) -> None:
     """Multi-host runtime bring-up (SURVEY.md §5.8).
 
     Thin wrapper over ``jax.distributed.initialize``; on single-host runs
@@ -106,6 +107,14 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     otherwise :func:`detect_multihost_env` fills them from the environment
     (MPPI_*/JAX_* variables), and on TPU pods anything still unset is
     auto-detected by JAX's own cluster plugins.
+
+    Failure policy (round-3 review): when a coordinator address was given —
+    explicitly or through the environment — the caller asked for a
+    multi-process fleet, so an initialization failure (port clash, typo'd
+    address, timeout) RAISES instead of silently degrading the process to
+    single-host mode (which would hang later inside the first cross-host
+    collective).  Only the fully-implicit single-process case, where JAX's
+    cluster auto-detection finds nothing, is a no-op.
     """
     env_coord, env_nproc, env_pid = detect_multihost_env()
     if coordinator_address is None:
@@ -114,13 +123,21 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         num_processes = env_nproc
     if process_id is None:
         process_id = env_pid
+    if jax.distributed.is_initialized():
+        return
+    kwargs = {}
+    if initialization_timeout is not None:
+        kwargs["initialization_timeout"] = initialization_timeout
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **kwargs,
         )
     except (RuntimeError, ValueError):
-        # Already initialised, or a single-process environment where no
-        # coordinator can be auto-detected (ValueError) — both are no-ops.
+        if coordinator_address is not None:
+            raise  # a requested fleet that failed to form must fail loudly
+        # Single-process environment where no coordinator can be
+        # auto-detected — a no-op by design.
         pass
