@@ -82,7 +82,8 @@ def _solve_local(arm: ArmParams, cfg: MPPIConfig, ref_path, observed_x,
 
 def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
                         u_prev, wp_idx, eps_local=None, seeds=None,
-                        seeds2=None, k_local=None, interpret=False):
+                        seeds2=None, k_local=None, interpret=False,
+                        elide_collectives: bool = False):
     """Per-device scenario-batch solve through the fused kernel.
 
     Noise: either injected ``eps_local`` (B_local, K_local, T, 2) — the
@@ -127,10 +128,18 @@ def _solve_local_pallas(arm: ArmParams, cfg: MPPIConfig, ref_path, observed,
         interpret=interpret)
 
     lam = jnp.asarray(cfg.lam, jnp.float32)
-    m = lax.pmin(m_loc, SAMPLES_AXIS)                      # (B_local,)
+    # ``elide_collectives`` swaps the three cross-shard exchanges for their
+    # shard-local values — semantically WRONG outputs, identical shard-local
+    # program; the measurement-only twin of the xla path's knob (see
+    # :func:`_solve_local`) so tools/collective_cost.py can isolate the
+    # PRODUCTION (fused-kernel) program's collective cost by A/B.
+    ident = lambda x, _axis: x
+    pmin = ident if elide_collectives else lax.pmin
+    psum = ident if elide_collectives else lax.psum
+    m = pmin(m_loc, SAMPLES_AXIS)                          # (B_local,)
     scale = jnp.exp((m - m_loc) / lam)
-    eta = lax.psum(eta_loc * scale, SAMPLES_AXIS)
-    a = lax.psum(a_local * scale[:, None, None], SAMPLES_AXIS)
+    eta = psum(eta_loc * scale, SAMPLES_AXIS)
+    a = psum(a_local * scale[:, None, None], SAMPLES_AXIS)
     w_eps_raw = (a / eta[:, None, None]).astype(dtype)
     w_local = (jnp.exp(-(s_local - m[:, None]) / lam)
                / eta[:, None]).astype(dtype)
@@ -171,17 +180,15 @@ def make_sharded_solve(arm: ArmParams, cfg: MPPIConfig, mesh: Mesh,
     B must divide by the 'data' axis size and K by the 'samples' axis size.
     ``backend='pallas'`` runs the fused kernel per shard with the two-level
     online-softmax cross-shard combine (``interpret=True`` for CPU tests).
-    ``elide_collectives`` (xla backend only) builds the measurement-only
-    collective-free twin program — see :func:`_solve_local`.
+    ``elide_collectives`` builds the measurement-only collective-free twin
+    program (both backends) — see :func:`_solve_local`.
     """
     _check_samples_divisible(cfg, mesh)
     if backend == "pallas":
-        if elide_collectives:
-            raise ValueError("elide_collectives is an xla-backend "
-                             "measurement knob")
         def _per_device(ref_path, observed, u_prev, wp_idx, eps):
             return _solve_local_pallas(arm, cfg, ref_path, observed, u_prev,
-                                       wp_idx, eps, interpret=interpret)
+                                       wp_idx, eps, interpret=interpret,
+                                       elide_collectives=elide_collectives)
     else:
         def _per_device(ref_path, observed, u_prev, wp_idx, eps):
             return jax.vmap(

@@ -62,6 +62,68 @@ def chained(solve_fn, chain):
     return jax.jit(run)
 
 
+def _shape_bytes(shape: str) -> int:
+    """Payload bytes of an HLO shape string (handles tuples)."""
+    import re
+
+    total = 0
+    for dt, dims in re.findall(r"(f32|f64|s32|u32|bf16|f16|s64)\[([0-9,]*)\]",
+                               shape):
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * (2 if dt in ("bf16", "f16") else
+                      8 if dt in ("f64", "s64") else 4)
+    return total
+
+
+def hlo_collectives(fn, args):
+    """Collective ops (name, shape, payload bytes) in compiled HLO."""
+    txt = jax.jit(fn).lower(*args).compile().as_text()
+    out = []
+    for line in txt.splitlines():
+        s = line.strip()
+        for op in ("all-reduce(", "all-reduce-start(", "all-gather(",
+                   "reduce-scatter(", "collective-permute("):
+            if (" = " in s) and (op in s):
+                shape = s.split(" = ", 1)[1].split(op, 1)[0].strip()
+                out.append((op.rstrip("("), shape, _shape_bytes(shape)))
+    return out
+
+
+def pallas_collective_parity(arm, cfg, args, n=8):
+    """The production (fused-kernel) sharded program's collectives vs the
+    xla proxy's, from compiled HLO (round-3 VERDICT item 5).
+
+    The pallas path's cross-shard combine lives OUTSIDE the kernel as plain
+    ``lax.pmin``/``lax.psum`` — identical collective count and near-identical
+    payloads to the xla path — so the xla A/B's measured collective cost
+    transfers to the production program.  This check makes that claim
+    verifiable from the compiled modules instead of asserted.
+    """
+    mesh = make_mesh(data=1, samples=n, devices=jax.devices()[:n])
+    colls = {}
+    for backend in ("xla", "pallas"):
+        f = make_sharded_solve(arm, cfg, mesh, backend=backend,
+                               interpret=(backend == "pallas"))
+        colls[backend] = hlo_collectives(f, args)
+    print("\ncompiled-HLO collectives at samples=8 "
+          "(production pallas vs xla proxy):")
+    for b, c in colls.items():
+        tot = sum(nbytes for _, _, nbytes in c)
+        print(f"  {b:<7}: {len(c)} collective launches, {tot} B payload: "
+              f"{[(k, s) for k, s, _ in c]}")
+    nx, np_ = len(colls["xla"]), len(colls["pallas"])
+    bx = sum(n for _, _, n in colls["xla"])
+    bp = sum(n for _, _, n in colls["pallas"])
+    print(f"  production <= proxy: launches {np_} <= {nx}: {np_ <= nx}; "
+          f"payload {bp} <= {bx + 8}: {bp <= bx + 8}")
+    print("  => the xla-proxy A/B cost above is an UPPER BOUND for the "
+          "production path's collectives")
+    return colls
+
+
 def main():
     pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 24
     chain = int(sys.argv[2]) if len(sys.argv) > 2 else 8
@@ -125,10 +187,12 @@ def main():
               f"{r['collective_cost_us_median']} | "
               f"[{r['iqr_us'][0]}, {r['iqr_us'][1]}] | "
               f"{'yes' if r['resolved'] else 'no'} |")
+    colls = pallas_collective_parity(arm, cfg, args)
     print()
     print(json.dumps({"K": cfg.num_samples, "T": cfg.horizon,
                       "payload_bytes_per_solve": payload, "pairs": pairs,
-                      "chain": chain, "rows": rows}))
+                      "chain": chain, "rows": rows,
+                      "hlo_collectives": {b: c for b, c in colls.items()}}))
 
 
 if __name__ == "__main__":
