@@ -14,6 +14,7 @@ from .config import (
     SimConfig,
     benchmark_preset,
     circle_tracking_preset,
+    high_accuracy_preset,
     config_from_json,
     config_to_json,
 )
@@ -44,6 +45,7 @@ __version__ = "0.1.0"
 __all__ = [
     "ArmParams", "MPPIConfig", "SimConfig",
     "benchmark_preset", "circle_tracking_preset",
+    "high_accuracy_preset",
     "config_from_json", "config_to_json",
     "MPPIState", "SolveResult", "VizResult", "init_state", "solve",
     "viz_rollouts",

@@ -121,6 +121,27 @@ def benchmark_preset() -> Tuple[ArmParams, MPPIConfig, SimConfig]:
     )
 
 
+def high_accuracy_preset() -> Tuple[ArmParams, MPPIConfig, SimConfig]:
+    """K=1024, H=50 with the controller model's timestep matched to the
+    plant (delta_t = 0.003 instead of the reference's 0.006, quirk Q2).
+
+    The reference's 2x-coarser internal integrator is the dominant tracking
+    error source at long horizons: the Q2 mismatch compounds over the
+    lookahead, measured at 12.6 mm mean on-path EE error (seeds 7.0-17.9)
+    for the parity semantics vs **6.1 mm (2.8-7.8)** with this preset —
+    better than every measured H=30 configuration — at identical compute
+    cost (docs/PARITY_RUN.md, round-4 mechanism isolation).  Use this when
+    tracking quality matters more than reference parity; the benchmark and
+    parity suites keep Q2.
+    """
+    return (
+        ArmParams(),
+        dataclasses.replace(MPPIConfig(), horizon=50, num_samples=1024,
+                            delta_t=0.003),
+        SimConfig(),
+    )
+
+
 # ---------------------------------------------------------------------------
 # JSON round-trip (SURVEY.md §5.6: config loadable from CLI/JSON)
 # ---------------------------------------------------------------------------

@@ -262,3 +262,23 @@ def test_xydq_alternate_path_closed_loop():
     # arm is folding, not wandering
     q = np.asarray(rec.q)
     assert np.abs(q[-1, 1] + 2.0 * q[-1, 0]) < 0.1
+
+
+def test_high_accuracy_preset_runs():
+    """The round-4 accuracy preset (delta_t matched to the plant, Q2
+    relaxed) is a valid configuration and its closed loop runs; its
+    measured on-chip quality (6.1 mm vs 12.6 mm at the reference's
+    delta_t=0.006, K=1024/H=50) is documented in docs/PARITY_RUN.md."""
+    import dataclasses
+    from mppi_robotarm_tpu.config import high_accuracy_preset
+
+    arm, cfg, sim = high_accuracy_preset()
+    assert (cfg.delta_t, cfg.horizon, cfg.num_samples) == (0.003, 50, 1024)
+    cfg.validate()
+    # tiny-shape smoke of the full loop under this delta_t
+    cfg = dataclasses.replace(cfg, num_samples=32, horizon=8)
+    from mppi_robotarm_tpu.sim.paths import synth_circle_path
+    ref = jnp.asarray(synth_circle_path(300), jnp.float64)
+    s0 = init_sim(cfg, sim, jax.random.PRNGKey(0), dtype=jnp.float64)
+    _, rec = simulate(arm, cfg, sim, ref, s0, 10)
+    assert np.all(np.isfinite(np.asarray(rec.q)))
