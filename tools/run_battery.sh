@@ -12,5 +12,11 @@ echo "=== fused-vs-per-step long-run discrete parity ==="
 python tools/tpu_fused_longrun.py 150
 echo "=== batch throughput (config 4) ==="
 python tools/tpu_bench_batch.py 1024 1024 30
+echo "=== sharded on-chip bitwise (1x1-mesh production programs) ==="
+python tools/tpu_sharded_onchip.py
+echo "=== round-4 optimization A/B (terminal-share + unscaled leaves) ==="
+python tools/tpu_solve_ab.py /root/repo /tmp/battery_opt.npz
+echo "=== bench-config tracking spread (gate calibration source) ==="
+python tools/tpu_bench_gate_sweep.py 4
 echo "=== headline bench ==="
 python bench.py
