@@ -120,7 +120,7 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
 
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                    cfg: MPPIConfig, window_len: int, unroll: bool = False,
-                   xy=None, masked: bool = False):
+                   xy=None, masked: bool = False, fast_select: bool = False):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
@@ -153,15 +153,49 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
 
     if unroll:
         # leaves: (d_j, waypoint values) — d computations are mutually
-        # independent, so they pipeline while the tree reduces
+        # independent, so they pipeline while the tree reduces.
+        #
+        # ``fast_select`` replaces the exact selection metric
+        # d_j = ((x−wx_j)² + (y−wy_j)²)·dist_scale (6 vector ops) with an
+        # expanded-and-reduced score in WINDOW-CENTERED coordinates
+        # (x' = x − wx_0 etc.): score_j = −2wx'_j·x' − 2wy'_j·y'
+        # + (wx'_j²+wy'_j²) — 4 vector ops per leaf plus 2 per call; the
+        # row-constant coefficients are scalar-core work off the vector
+        # critical path, and the sample-constant x'²+y'² and the positive
+        # dist_scale factor are dropped (both monotone, so the mathematical
+        # argmin is unchanged).  Centering matters: in absolute coordinates
+        # the dropped x²+y² ≈ −score (catastrophic cancellation, ~1e-6
+        # absolute selection noise → percent-level selection flips,
+        # measured); centered, all products are O(window span + rollout
+        # travel)² ≈ 1e-2, so the reassociation error is ~1e-9 and only fp
+        # NEAR-TIES between two window rows can flip — the final cost still
+        # uses the exact formula on the selected row's values.  Production
+        # (on-chip PRNG) kernels use it; the injected-eps parity seam keeps
+        # the exact metric so pallas-vs-XLA comparisons stay structurally
+        # identical (see _solve_kernel).  The clamped-duplicate-row
+        # identity behind unmasked mode holds for either metric (duplicate
+        # rows produce bit-equal leaves).
+        if fast_select:
+            cx = win_ref[0, 0]
+            cy = win_ref[0, 1]
+            xc = x - cx
+            yc = y - cy
+
         def leaf(j):
-            dx = x - win_ref[j, 0]
-            dy = y - win_ref[j, 1]
-            d = (dx * dx + dy * dy) * cfg.dist_scale
+            wx = win_ref[j, 0]
+            wy = win_ref[j, 1]
+            if fast_select:
+                wxc = wx - cx
+                wyc = wy - cy
+                d = (xc * (-2.0 * wxc) + yc * (-2.0 * wyc)
+                     + (wxc * wxc + wyc * wyc))
+            else:
+                dx = x - wx
+                dy = y - wy
+                d = (dx * dx + dy * dy) * cfg.dist_scale
             if masked:
                 d = jnp.where(jnp.float32(j) < nvalid, d, inf)
-            return (d, win_ref[j, 0], win_ref[j, 1],
-                    win_ref[j, 2], win_ref[j, 3])
+            return (d, wx, wy, win_ref[j, 2], win_ref[j, 3])
 
         def merge(l, r):
             better = r[0] < l[0]          # strict: left wins ties
@@ -242,6 +276,8 @@ def _solve_kernel(
     fuse_update: bool = False,
     unroll_t: bool = False,
     unroll_w: bool = True,
+    trig_carry: bool = True,
+    fast_select: bool = False,
 ):
     T = cfg.horizon
     sub = tile // _LANES
@@ -263,6 +299,8 @@ def _solve_kernel(
     k_offset = scalars_ref[0, 7]     # global index of this shard's sample 0
 
     # ---- noise for this tile --------------------------------------------
+    # eps_buf rows are DIM-MAJOR (row c·T + t holds dim c, step t), matching
+    # acc_buf — the whole-loop kernel's layout (pallas_sim.py).
     if use_prng:
         # Mosaic hardware seeding takes at most TWO 32-bit words: word 1 is
         # the caller's seed, word 2 packs (step << 10 | tile) — injective for
@@ -273,14 +311,24 @@ def _solve_kernel(
         l11 = chol_ref[0]
         l21 = chol_ref[1]
         l22 = chol_ref[2]
-
-        def gen_body(t, _):
-            z1, z2 = _box_muller((sub, _LANES))
-            eps_buf[pl.ds(2 * t, 1)] = (l11 * z1)[None]
-            eps_buf[pl.ds(2 * t + 1, 1)] = (l21 * z1 + l22 * z2)[None]
-            return 0
-
-        jax.lax.fori_loop(0, T, gen_body, 0)
+        # Batched draws (round 4, ported from the whole-loop kernel): T
+        # sequential (sub,128) draws serialize their transcendental chains;
+        # one multi-step draw pipelines them across many independent vregs.
+        # Chunked so each z array stays ≤ ~1 MB of VMEM temporaries at
+        # sub=64 tiles.  NOTE: the batched draw consumes the PRNG bits in a
+        # different order than the earlier per-t draws, so PRNG-mode
+        # recordings/checkpoints from builds before this change are not
+        # bit-continuable across the upgrade (injected-eps replay is
+        # version-stable; see PARITY.md changelog).
+        tc = max(1, 2048 // sub)
+        t0 = 0
+        while t0 < T:
+            n = min(tc, T - t0)
+            z1, z2 = _box_muller((n * sub, _LANES))
+            eps_buf[pl.ds(t0, n)] = (l11 * z1).reshape(n, sub, _LANES)
+            eps_buf[pl.ds(T + t0, n)] = \
+                (l21 * z1 + l22 * z2).reshape(n, sub, _LANES)
+            t0 += n
     else:
         eps_buf[...] = eps_in_ref[...]
     if emit_eps:
@@ -300,28 +348,83 @@ def _solve_kernel(
                        jnp.float32)
     exploit = (k_offset + k_local_idx) < k_thresh
 
-    def roll_body(t, carry):
-        q1, q2, dq1, dq2, s = carry
-        e1 = eps_buf[pl.ds(2 * t, 1)][0]
-        e2 = eps_buf[pl.ds(2 * t + 1, 1)][0]
-        v1 = jnp.where(exploit, u_ref[t, 0] + e1, e1)
-        v2 = jnp.where(exploit, u_ref[t, 1] + e2, e2)
-        if cfg.u_clamp is not None:
-            v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
-            v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
-        q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, arm)
-        s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
-                               *stage_w, cfg=cfg,
-                               window_len=cfg.search_idx_len,
-                               unroll=unroll_w)
-        s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
-        return q1, q2, dq1, dq2, s
+    if trig_carry:
+        # sin/cos of q1 and q1+q2 of the CURRENT state ride the carry: the
+        # tracking cost needs the EE FK (4 transcendentals) each step
+        # anyway, and the NEXT dynamics step derives cos/sin(q2) from them
+        # by the angle-difference identities — 8 → 4 transcendental
+        # expansions per horizon step, same scheme the whole-loop kernel
+        # uses (pallas_sim.py solve phase).  Differs from the direct form
+        # at ulp level only (fp reassociation); the parity gates vs the
+        # XLA path and float64 oracle are unchanged.  ``trig_carry=False``
+        # keeps the direct form for in-process on-chip A/B
+        # (tools/tpu_trig_ab.py).
+        c1 = jnp.full(shape, jnp.cos(q1_0), jnp.float32)
+        s1v = jnp.full(shape, jnp.sin(q1_0), jnp.float32)
+        c12 = jnp.full(shape, jnp.cos(q1_0 + q2_0), jnp.float32)
+        s12 = jnp.full(shape, jnp.sin(q1_0 + q2_0), jnp.float32)
 
-    q1, q2, dq1, dq2, s = jax.lax.fori_loop(
-        0, T, roll_body, (q1, q2, dq1, dq2, s), unroll=T if unroll_t else 1)
+        def roll_body(t, carry):
+            q1, q2, dq1, dq2, s, c1, s1v, c12, s12 = carry
+            e1 = eps_buf[pl.ds(t, 1)][0]
+            e2 = eps_buf[pl.ds(T + t, 1)][0]
+            v1 = jnp.where(exploit, u_ref[t, 0] + e1, e1)
+            v2 = jnp.where(exploit, u_ref[t, 1] + e2, e2)
+            if cfg.u_clamp is not None:
+                v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+                v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+            # q2 = (q1+q2) − q1 ⇒ angle-difference identities
+            c2 = c12 * c1 + s12 * s1v
+            s2v = s12 * c1 - c12 * s1v
+            q1, q2, dq1, dq2 = _dynamics_step_trig(
+                q1, q2, dq1, dq2, v1, v2, dt, arm, c1, c2, s2v, c12)
+            c1 = jnp.cos(q1)
+            s1v = jnp.sin(q1)
+            q12 = q1 + q2
+            c12 = jnp.cos(q12)
+            s12 = jnp.sin(q12)
+            x = cfg.l1 * c1 + cfg.l2 * c12
+            y = cfg.l1 * s1v + cfg.l2 * s12
+            s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
+                                   *stage_w, cfg=cfg,
+                                   window_len=cfg.search_idx_len,
+                                   unroll=unroll_w, xy=(x, y),
+                                   fast_select=fast_select)
+            s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
+            return q1, q2, dq1, dq2, s, c1, s1v, c12, s12
+
+        q1, q2, dq1, dq2, s, c1, s1v, c12, s12 = jax.lax.fori_loop(
+            0, T, roll_body, (q1, q2, dq1, dq2, s, c1, s1v, c12, s12),
+            unroll=T if unroll_t else 1)
+        term_xy = (cfg.l1 * c1 + cfg.l2 * c12,
+                   cfg.l1 * s1v + cfg.l2 * s12)
+    else:
+        def roll_body(t, carry):
+            q1, q2, dq1, dq2, s = carry
+            e1 = eps_buf[pl.ds(t, 1)][0]
+            e2 = eps_buf[pl.ds(T + t, 1)][0]
+            v1 = jnp.where(exploit, u_ref[t, 0] + e1, e1)
+            v2 = jnp.where(exploit, u_ref[t, 1] + e2, e2)
+            if cfg.u_clamp is not None:
+                v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
+                v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
+            q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2, v1, v2,
+                                              dt, arm)
+            s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
+                                   *stage_w, cfg=cfg,
+                                   window_len=cfg.search_idx_len,
+                                   unroll=unroll_w, fast_select=fast_select)
+            s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
+            return q1, q2, dq1, dq2, s
+
+        q1, q2, dq1, dq2, s = jax.lax.fori_loop(
+            0, T, roll_body, (q1, q2, dq1, dq2, s),
+            unroll=T if unroll_t else 1)
+        term_xy = None
     s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
                            cfg=cfg, window_len=cfg.search_idx_len,
-                           unroll=unroll_w)
+                           unroll=unroll_w, xy=term_xy,
+                           fast_select=fast_select)
     # Padding samples (local k >= k_actual) must not influence the softmax:
     # their cost is +inf so exp(-(S-m)/lam) underflows to exactly 0.
     s = jnp.where(k_local_idx < k_actual, s, jnp.float32(np.inf))
@@ -344,16 +447,21 @@ def _solve_kernel(
     stat_ref[1] = stat_ref[1] * rescale + jnp.sum(e)
 
     # acc rows are DIM-MAJOR (row c*T + t holds dim c, step t) so the median
-    # filter's horizon-axis windows are contiguous row ranges; eps_buf stays
-    # interleaved (rows 2t, 2t+1), hence the index remap here.
-    def acc_body(r, _):
-        t = jax.lax.rem(r, T)
-        c = r // T
-        contrib = jnp.sum(e * eps_buf[pl.ds(2 * t + c, 1)][0])
-        acc_buf[pl.ds(r, 1)] = acc_buf[pl.ds(r, 1)] * rescale + contrib
-        return 0
-
-    jax.lax.fori_loop(0, 2 * T, acc_body, 0)
+    # filter's horizon-axis windows are contiguous row ranges; eps_buf uses
+    # the same layout, so row r of each corresponds directly.  Wide fused
+    # reduction (round 4, same scheme as the whole-loop kernel's Σwε): 2T
+    # narrow per-row reduces serialize; multi-row chunks pipeline, chunked
+    # to cap the (n, sub, 128) temporary at ~1 MB for sub=64 tiles.
+    rc = max(1, 2048 // sub)
+    r0 = 0
+    while r0 < 2 * T:
+        n = min(rc, 2 * T - r0)
+        ew = e[None] * eps_buf[pl.ds(r0, n)]          # (n, sub, 128)
+        ws = jnp.sum(ew, axis=1)                      # (n, 128)
+        contrib = jnp.sum(ws, axis=1, keepdims=True)  # (n, 1)
+        acc_buf[pl.ds(r0, n)] = (acc_buf[pl.ds(r0, n)] * rescale
+                                 + jnp.broadcast_to(contrib, (n, _LANES)))
+        r0 += n
 
     @pl.when(p_id == n_p - 1)
     def _finalize():
@@ -419,6 +527,11 @@ def pallas_solve_batched(
     k_offset: Optional[jnp.ndarray] = None,  # (B,) global idx of sample 0
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
+    trig_carry: Optional[bool] = None,    # carry FK sin/cos into the dynamics
+                                          # (None = auto by tile size)
+    fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
+                                          # (None = on for PRNG mode, off for
+                                          # the injected-eps parity seam)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
@@ -489,23 +602,37 @@ def pallas_solve_batched(
         eps_tiled = jnp.zeros((B, n_tiles, 1, 1, _LANES), jnp.float32)
         eps_in_block = (None, None, 1, 1, _LANES)
     else:
-        # (B, K, T, 2) -> (B, n_tiles, 2T, sub, 128) matching k_global layout
+        # (B, K, T, 2) -> (B, n_tiles, 2T, sub, 128): dim-major rows
+        # (row c·T + t), matching the kernel's eps_buf layout
         e = eps.astype(jnp.float32)
         if Kpad != K:
             e = jnp.concatenate(
                 [e, jnp.zeros((B, Kpad - K, T, 2), jnp.float32)], axis=1)
         e = e.reshape(B, n_tiles, sub, _LANES, T, 2)
-        eps_tiled = e.transpose(0, 1, 4, 5, 2, 3).reshape(
+        eps_tiled = e.transpose(0, 1, 5, 4, 2, 3).reshape(
             B, n_tiles, 2 * T, sub, _LANES)
         eps_in_block = (None, None, 2 * T, sub, _LANES)
 
     if fuse_update and (not normalize or cfg.filter_window > 2 * T):
         raise ValueError("fuse_update requires normalize=True and "
                          "filter_window <= 2*horizon")
+    if trig_carry is None:
+        # Auto: the angle-difference trig carry removes 4 transcendental
+        # expansions per horizon step but lengthens the loop-carried state.
+        # On-chip A/B (tools/tpu_trig_ab.py): 1.049x at sub=64 (K=65536,
+        # throughput-bound) but 0.78x at sub=8 (K=1024, latency-bound —
+        # DESIGN.md item 11), so gate on the measured winner's regime.
+        trig_carry = (tile // _LANES) >= 32
+    if fast_select is None:
+        # Production (on-chip PRNG) takes the cheaper reassociated selection
+        # metric; the injected-eps seam keeps the exact one so pallas-vs-XLA
+        # stays structurally identical (see _tracking_cost docstring).
+        fast_select = use_prng
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
         emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,
-        unroll_t=unroll_t, unroll_w=unroll_w)
+        unroll_t=unroll_t, unroll_w=unroll_w, trig_carry=trig_carry,
+        fast_select=fast_select)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -560,8 +687,8 @@ def pallas_solve_batched(
     stats = (weps_out[:, 2 * T, 0], weps_out[:, 2 * T + 1, 0])   # (m, η)
     if not emit_eps:
         return w_eps, s_flat, None, stats
-    eps_used = (eps_out.reshape(B, n_tiles, T, 2, sub, _LANES)
-                .transpose(0, 1, 4, 5, 2, 3).reshape(B, Kpad, T, 2)[:, :K])
+    eps_used = (eps_out.reshape(B, n_tiles, 2, T, sub, _LANES)
+                .transpose(0, 1, 4, 5, 3, 2).reshape(B, Kpad, T, 2)[:, :K])
     return w_eps, s_flat, eps_used, stats
 
 
@@ -581,6 +708,10 @@ def pallas_solve_core(
     fuse_update: bool = False,            # rows hold u_new instead of Σwε
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
+    trig_carry: Optional[bool] = None,    # carry FK sin/cos into the dynamics
+                                          # (None = auto by tile size)
+    fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
+                                          # (None = on for PRNG mode only)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
@@ -595,5 +726,6 @@ def pallas_solve_core(
         step=None if step is None else jnp.asarray(step).reshape(1),
         interpret=interpret, tile=tile, emit_eps=emit_eps,
         fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
+        trig_carry=trig_carry, fast_select=fast_select,
     )
     return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

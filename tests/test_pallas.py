@@ -330,6 +330,58 @@ def test_unroll_variants_truncated_window(ref_path, rng):
     np.testing.assert_allclose(outs[0][0], outs[1][0], rtol=3e-7, atol=1e-6)
 
 
+def test_trig_carry_variants_equal(ref_path, rng):
+    """The angle-difference trig carry (auto-enabled for sub>=32 tiles,
+    tools/tpu_trig_ab.py) matches the direct-transcendental rollout at ulp
+    level: cos/sin(q2) derived from the carried FK trig of q1 and q1+q2
+    differ from the direct expansions only by fp reassociation, amplified
+    through the chaotic rollout — same contract as the unroll variants."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=12)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(128, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    outs = {}
+    for tc in (False, True):
+        w_eps, s, _ = pallas_solve_core(
+            ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+            eps=jnp.asarray(eps), interpret=True, trig_carry=tc)
+        outs[tc] = (np.asarray(w_eps), np.asarray(s))
+    np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5)
+    np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-4,
+                               atol=1e-5)
+
+
+def test_fast_select_variants_equal(ref_path, rng):
+    """The reduced waypoint-selection metric (production/PRNG default)
+    selects the same waypoints as the exact metric away from fp near-ties:
+    score_j = −2wx_j·x − 2wy_j·y + (wx_j²+wy_j²) drops the sample-constant
+    x²+y² and the positive dist_scale — both monotone — so the mathematical
+    argmin is unchanged, and the final cost is computed from the selected
+    row's values with the exact formula in both modes."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=10)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(256, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    n = ref_path.shape[0]
+    for start in (0, n - 4):             # full + truncated window
+        window, valid = slice_window(jnp.asarray(ref_path, jnp.float32),
+                                     start, cfg.search_idx_len)
+        nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+        outs = {}
+        for fs in (False, True):
+            w_eps, s, _ = pallas_solve_core(
+                ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+                eps=jnp.asarray(eps), interpret=True, fast_select=fs)
+            outs[fs] = (np.asarray(w_eps), np.asarray(s))
+        np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5,
+                                   err_msg=f"S differs at start={start}")
+        np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-4,
+                                   atol=1e-5)
+
+
 def test_unmasked_window_scan_bitwise(ref_path, rng):
     """The unmasked tournament scan (round-3 default) is BIT-IDENTICAL to
     the masked one, including truncated windows at the path end: clamped
