@@ -120,7 +120,8 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
 
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                    cfg: MPPIConfig, window_len: int, unroll: bool = False,
-                   xy=None, masked: bool = False, fast_select: bool = False):
+                   xy=None, masked: bool = False, fast_select: bool = False,
+                   fast_coef=None):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
@@ -175,9 +176,20 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
         # identical (see _solve_kernel).  The clamped-duplicate-row
         # identity behind unmasked mode holds for either metric (duplicate
         # rows produce bit-equal leaves).
+        # ``fast_coef`` lets callers whose window lookups are NOT free
+        # scalar loads (the sublane-stacked kernel: win_ref[j,k] is a
+        # pre-stacked (S,128) vector) hoist the per-row coefficients to
+        # window-build time: (cx, cy, rows) with rows[j] = (a_j, b_j, r_j)
+        # for a = −2(wx−cx), b = −2(wy−cy), r = (wx−cx)²+(wy−cy)² — the
+        # same scalar arithmetic this function uses inline, so interleaved
+        # and stacked kernels stay value-identical.
         if fast_select:
-            cx = win_ref[0, 0]
-            cy = win_ref[0, 1]
+            if fast_coef is not None:
+                cx, cy, rows = fast_coef
+            else:
+                cx = win_ref[0, 0]
+                cy = win_ref[0, 1]
+                rows = None
             xc = x - cx
             yc = y - cy
 
@@ -185,10 +197,15 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
             wx = win_ref[j, 0]
             wy = win_ref[j, 1]
             if fast_select:
-                wxc = wx - cx
-                wyc = wy - cy
-                d = (xc * (-2.0 * wxc) + yc * (-2.0 * wyc)
-                     + (wxc * wxc + wyc * wyc))
+                if rows is not None:
+                    a, b, r = rows[j]
+                else:
+                    wxc = wx - cx
+                    wyc = wy - cy
+                    a = -2.0 * wxc
+                    b = -2.0 * wyc
+                    r = wxc * wxc + wyc * wyc
+                d = xc * a + yc * b + r
             else:
                 dx = x - wx
                 dy = y - wy

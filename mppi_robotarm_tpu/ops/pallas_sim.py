@@ -418,7 +418,8 @@ def _sim_kernel(
                 y = cfg.l1 * s1v + cfg.l2 * s12
                 s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                        nvalid[g], *stage_w, cfg=cfg,
-                                       window_len=W, unroll=True, xy=(x, y))
+                                       window_len=W, unroll=True, xy=(x, y),
+                                       fast_select=use_prng)
                 su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
                 su2 = si2 * u1r + si3 * u2r
                 s = s + gamma * (v1 * su1 + v2 * su2)
@@ -437,7 +438,8 @@ def _sim_kernel(
             yT = cfg.l1 * s1v + cfg.l2 * s12
             s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                    nvalid[g], *term_w, cfg=cfg,
-                                   window_len=W, unroll=True, xy=(xT, yT))
+                                   window_len=W, unroll=True, xy=(xT, yT),
+                                   fast_select=use_prng)
             s = jnp.where(k_idx < k_actual, s, inf)
 
             m = jnp.min(s)
@@ -649,6 +651,30 @@ def _sim_kernel_stacked(
                     for k in range(4))
               for j in range(W)]
         win = _VecWin(wv)
+        if use_prng:
+            # fast_select coefficients, hoisted to window-build time: the
+            # stacked win[j,k] lookups are (S,128) vectors, so computing
+            # −2(wx−cx) etc. per tournament leaf would ADD vector ops —
+            # instead the per-scenario scalars are computed once here
+            # (identical arithmetic to _tracking_cost's inline scalar
+            # path, so stacked stays value-identical to interleaved) and
+            # stacked; the T+1 cost calls then pay 4 vector ops per leaf
+            # instead of 6.
+            cxs = [win_ref[g, 0, 0] for g in range(S)]
+            cys = [win_ref[g, 0, 1] for g in range(S)]
+            rows = []
+            for j in range(W):
+                a_g, b_g, r_g = [], [], []
+                for g in range(S):
+                    wxc = win_ref[g, j, 0] - cxs[g]
+                    wyc = win_ref[g, j, 1] - cys[g]
+                    a_g.append(-2.0 * wxc)
+                    b_g.append(-2.0 * wyc)
+                    r_g.append(wxc * wxc + wyc * wyc)
+                rows.append((stackf(a_g), stackf(b_g), stackf(r_g)))
+            fast_coef = (stackf(cxs), stackf(cys), rows)
+        else:
+            fast_coef = None
 
         # ---- noise: same (T,128) stream per scenario, stacked rows -------
         if use_prng:
@@ -714,7 +740,9 @@ def _sim_kernel_stacked(
             y = cfg.l1 * s1v + cfg.l2 * s12
             s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec,
                                    *stage_w, cfg=cfg, window_len=W,
-                                   unroll=True, xy=(x, y))
+                                   unroll=True, xy=(x, y),
+                                   fast_select=use_prng,
+                                   fast_coef=fast_coef)
             su1 = si0 * u1r + si1 * u2r
             su2 = si2 * u1r + si3 * u2r
             s = s + gamma * (v1 * su1 + v2 * su2)
@@ -727,7 +755,8 @@ def _sim_kernel_stacked(
         yT = cfg.l1 * s1v + cfg.l2 * s12
         s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec, *term_w,
                                cfg=cfg, window_len=W, unroll=True,
-                               xy=(xT, yT))
+                               xy=(xT, yT), fast_select=use_prng,
+                               fast_coef=fast_coef)
         s = jnp.where(k_idx < k_actual, s, inf)
 
         # ---- per-scenario softmax = row-wise lane reductions --------------

@@ -14,8 +14,12 @@ echo "=== batch throughput (config 4) ==="
 python tools/tpu_bench_batch.py 1024 1024 30
 echo "=== sharded on-chip bitwise (1x1-mesh production programs) ==="
 python tools/tpu_sharded_onchip.py
-echo "=== round-4 optimization A/B (terminal-share + unscaled leaves) ==="
-python tools/tpu_solve_ab.py /root/repo /tmp/battery_opt.npz
+echo "=== stacked-vs-interleaved kernel bitwise (PRNG mode) ==="
+python tools/tpu_stacked_bitwise.py
+echo "=== round-4 optimization A/Bs (trig carry / fast_select) ==="
+python tools/tpu_trig_ab.py
+python tools/tpu_fastsel_ab.py
+python tools/tpu_fused_fastsel_ab.py
 echo "=== bench-config tracking spread (gate calibration source) ==="
 python tools/tpu_bench_gate_sweep.py 4
 echo "=== headline bench ==="

@@ -60,7 +60,8 @@ class _Win:
         return self._w[j][k]
 
 
-def rollout_iter_replica(cfg: MPPIConfig, arm: ArmParams):
+def rollout_iter_replica(cfg: MPPIConfig, arm: ArmParams,
+                         fast_select: bool = False):
     """Pure-array replica of ops/pallas_sim._sim_kernel's `roll` body (G=1).
 
     Kept in sync by hand with pallas_sim.py — it calls the REAL
@@ -91,7 +92,8 @@ def rollout_iter_replica(cfg: MPPIConfig, arm: ArmParams):
         x = cfg.l1 * c1 + cfg.l2 * c12
         y = cfg.l1 * s1v + cfg.l2 * s12
         s = s + _tracking_cost(q1, q2, dq1, dq2, win, nvalid, *stage_w,
-                               cfg=cfg, window_len=W, unroll=True, xy=(x, y))
+                               cfg=cfg, window_len=W, unroll=True, xy=(x, y),
+                               fast_select=fast_select)
         su1 = si[0] * u1r + si[1] * u2r
         su2 = si[2] * u1r + si[3] * u2r
         s = s + gamma * (v1 * su1 + v2 * su2)
@@ -100,8 +102,8 @@ def rollout_iter_replica(cfg: MPPIConfig, arm: ArmParams):
     return body
 
 
-def count_vreg_ops(cfg, arm, shape=(8, 128)):
-    body = rollout_iter_replica(cfg, arm)
+def count_vreg_ops(cfg, arm, shape=(8, 128), fast_select=False):
+    body = rollout_iter_replica(cfg, arm, fast_select=fast_select)
     args = [jnp.zeros(shape, jnp.float32)] * 13 + [
         jnp.zeros(shape, bool)]
     jaxpr = jax.make_jaxpr(body)(*args)
@@ -144,10 +146,13 @@ def main():
     arm, cfg, sim = benchmark_preset()        # K=1024, H=50
     ref = jnp.asarray(synth_circle_path(8000))
     simple, trans = count_vreg_ops(cfg, arm)
+    fsimple, ftrans = count_vreg_ops(cfg, arm, fast_select=True)
     print(f"rollout iteration: {simple} simple + {trans} transcendental "
-          f"vreg-ops per (8,128) tile (T={cfg.horizon} iterations/solve)",
-          flush=True)
+          f"vreg-ops per (8,128) tile (T={cfg.horizon} iterations/solve); "
+          f"fast_select variant (per-step PRNG kernels): {fsimple} + "
+          f"{ftrans}", flush=True)
     out = {"per_iter_simple": simple, "per_iter_transcendental": trans,
+           "per_iter_simple_fast_select": fsimple,
            "f_clock_ghz": F_CLOCK / 1e9}
 
     # --- fused whole-loop kernel, K=1024 --------------------------------
@@ -204,7 +209,8 @@ def main():
         ts[name] = best
     t_solve = (ts["long"] - ts["short"]) / (64 - 16)
     vregs = cfg_big.num_samples // 1024
-    ops = (simple + trans) * cfg.horizon * vregs
+    # the chained PRNG-mode solve runs the fast_select leaves
+    ops = (fsimple + ftrans) * cfg.horizon * vregs
     cycles = t_solve * F_CLOCK
     rate = ops / cycles
     print(f"[per-step K=65536] {t_solve * 1e6:.1f} us/solve device; "
