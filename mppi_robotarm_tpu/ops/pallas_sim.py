@@ -677,6 +677,10 @@ def _sim_kernel_stacked(
             fast_coef = None
 
         # ---- noise: same (T,128) stream per scenario, stacked rows -------
+        # (The where-mask accumulation looks like S² select work, but a
+        # round-4 A/B against direct (T,1,128) sublane-row stores measured
+        # 435k vs 421k scenario-solves/s — the masked form WINS; Mosaic
+        # handles the select chain better than sublane-granular stores.)
         if use_prng:
             l11 = chol_ref[0]
             l21 = chol_ref[1]
