@@ -545,10 +545,12 @@ def pallas_solve_batched(
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
     trig_carry: Optional[bool] = None,    # carry FK sin/cos into the dynamics
-                                          # (None = auto by tile size)
+                                          # (None = PRNG mode AND large tile;
+                                          # injected-eps replays stay bitwise)
     fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
                                           # (None = on for PRNG mode, off for
-                                          # the injected-eps parity seam)
+                                          # the injected-eps parity seam;
+                                          # requires unroll_w=True)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
@@ -638,13 +640,23 @@ def pallas_solve_batched(
         # expansions per horizon step but lengthens the loop-carried state.
         # On-chip A/B (tools/tpu_trig_ab.py): 1.049x at sub=64 (K=65536,
         # throughput-bound) but 0.78x at sub=8 (K=1024, latency-bound —
-        # DESIGN.md item 11), so gate on the measured winner's regime.
-        trig_carry = (tile // _LANES) >= 32
+        # DESIGN.md item 11), so gate on the measured winner's regime AND on
+        # PRNG mode: the carry differs from the direct form at ulp level
+        # (fp reassociation), and the injected-eps seam's contract is
+        # BITWISE pallas-vs-XLA agreement at every shape — mirroring the
+        # fast_select gate below (round-4 advisor finding).
+        trig_carry = use_prng and (tile // _LANES) >= 32
     if fast_select is None:
         # Production (on-chip PRNG) takes the cheaper reassociated selection
         # metric; the injected-eps seam keeps the exact one so pallas-vs-XLA
-        # stays structurally identical (see _tracking_cost docstring).
-        fast_select = use_prng
+        # stays structurally identical (see _tracking_cost docstring).  The
+        # rolled window scan has no fast path, so it resolves to the exact
+        # metric (explicit True below is rejected rather than ignored).
+        fast_select = use_prng and unroll_w
+    elif fast_select and not unroll_w:
+        raise ValueError(
+            "fast_select=True requires unroll_w=True: the rolled window "
+            "scan always evaluates the exact selection metric")
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
         emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,

@@ -257,6 +257,7 @@ def _sim_kernel(
     use_prng: bool,
     unroll_t: bool = False,
     group: int = 1,
+    fast_select: bool = False,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
@@ -419,7 +420,7 @@ def _sim_kernel(
                 s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                        nvalid[g], *stage_w, cfg=cfg,
                                        window_len=W, unroll=True, xy=(x, y),
-                                       fast_select=use_prng)
+                                       fast_select=fast_select)
                 su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
                 su2 = si2 * u1r + si3 * u2r
                 s = s + gamma * (v1 * su1 + v2 * su2)
@@ -439,7 +440,7 @@ def _sim_kernel(
             s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                    nvalid[g], *term_w, cfg=cfg,
                                    window_len=W, unroll=True, xy=(xT, yT),
-                                   fast_select=use_prng)
+                                   fast_select=fast_select)
             s = jnp.where(k_idx < k_actual, s, inf)
 
             m = jnp.min(s)
@@ -559,6 +560,7 @@ def _sim_kernel_stacked(
     use_prng: bool,
     unroll_t: bool = False,
     group: int = 1,
+    fast_select: bool = False,
 ):
     """SUBLANE-STACKED variant of :func:`_sim_kernel` for K ≤ 128 fleets.
 
@@ -651,7 +653,7 @@ def _sim_kernel_stacked(
                     for k in range(4))
               for j in range(W)]
         win = _VecWin(wv)
-        if use_prng:
+        if fast_select:
             # fast_select coefficients, hoisted to window-build time: the
             # stacked win[j,k] lookups are (S,128) vectors, so computing
             # −2(wx−cx) etc. per tournament leaf would ADD vector ops —
@@ -745,7 +747,7 @@ def _sim_kernel_stacked(
             s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec,
                                    *stage_w, cfg=cfg, window_len=W,
                                    unroll=True, xy=(x, y),
-                                   fast_select=use_prng,
+                                   fast_select=fast_select,
                                    fast_coef=fast_coef)
             su1 = si0 * u1r + si1 * u2r
             su2 = si2 * u1r + si3 * u2r
@@ -759,7 +761,7 @@ def _sim_kernel_stacked(
         yT = cfg.l1 * s1v + cfg.l2 * s12
         s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec, *term_w,
                                cfg=cfg, window_len=W, unroll=True,
-                               xy=(xT, yT), fast_select=use_prng,
+                               xy=(xT, yT), fast_select=fast_select,
                                fast_coef=fast_coef)
         s = jnp.where(k_idx < k_actual, s, inf)
 
@@ -836,6 +838,12 @@ def pallas_sim_run_batched(
                                         # entry — folded into the PRNG stream
                                         # so resumed runs continue, not replay
     group: int = 1,                     # scenarios per grid program (ILP)
+    fast_select: Optional[bool] = None,  # reduced waypoint-selection metric
+                                         # (None = on for PRNG mode, off for
+                                         # the injected-eps parity seam);
+                                         # explicit values let interpret-mode
+                                         # tests force the fast path through
+                                         # both kernels (round-4 advisor)
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -868,6 +876,8 @@ def pallas_sim_run_batched(
             f"fused sim requires K (= {K}) to fit one kernel tile")
     sub = tile // _LANES
     use_prng = eps is None
+    if fast_select is None:
+        fast_select = use_prng
     if B % group:
         raise ValueError(f"B={B} is not divisible by group={group}")
     G = group
@@ -914,7 +924,7 @@ def pallas_sim_run_batched(
         kernel = functools.partial(
             _sim_kernel_stacked, arm=arm, cfg=cfg, sim=sim,
             n_steps=n_steps, tile=tile, use_prng=use_prng,
-            unroll_t=unroll_t, group=G)
+            unroll_t=unroll_t, group=G, fast_select=fast_select)
         u0_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -936,7 +946,8 @@ def pallas_sim_run_batched(
         eps_k = eps_in
         kernel = functools.partial(
             _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps,
-            tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G)
+            tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G,
+            fast_select=fast_select)
         u0_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)
         ufin_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
@@ -1001,6 +1012,7 @@ def pallas_sim_run(
     interpret: bool = False,
     unroll_t: bool = False,
     step0=None,                          # () int32 absolute step at entry
+    fast_select: Optional[bool] = None,  # see pallas_sim_run_batched
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -1016,5 +1028,5 @@ def pallas_sim_run(
         eps=None if eps is None else jnp.asarray(eps)[None],
         interpret=interpret, unroll_t=unroll_t,
         step0=None if step0 is None else jnp.asarray(step0).reshape(1),
-        group=1)
+        group=1, fast_select=fast_select)
     return rec[0], ufin[0]

@@ -148,3 +148,50 @@ def test_ik_circle_multi_revolution_paths_are_smooth():
         single[:, 1], 0.8, atol=1e-6)
     assert pinned[-30:].all(), \
         "closure override rows missing from the single-rev path"
+
+
+def test_ik_term_in_domain_for_all_shipped_generators():
+    """The IK closed form takes a RAW sqrt (ik_circle's ``term``,
+    utils.py:54): outside the reachable annulus |l1-l2| <= rho <= l1+l2 it
+    goes NaN, exactly as the reference does.  The framework additionally
+    advertises multi-revolution / synthetic paths, so this pins the
+    in-domain guarantee for every SHIPPED generator: each emitted waypoint
+    stays inside the annulus (finite IK), and the assertion here is the one
+    that would catch a future generator emitting an unreachable waypoint
+    (round-4 VERDICT item 8)."""
+    from mppi_robotarm_tpu.sim.pathgen import generate_circle_path
+    from mppi_robotarm_tpu.sim.paths import synth_circle_path
+
+    l1, l2 = ARM.l1, ARM.l2
+    lo, hi = abs(l1 - l2), l1 + l2
+
+    def assert_in_domain(xy, name):
+        assert np.isfinite(xy).all(), f"{name}: non-finite waypoints"
+        rho = np.hypot(xy[:, 0], xy[:, 1])
+        assert (rho >= lo - 1e-6).all() and (rho <= hi + 1e-6).all(), (
+            f"{name}: waypoint outside the reachable annulus "
+            f"[{lo}, {hi}]: rho range [{rho.min()}, {rho.max()}]")
+
+    # synth_circle_path: single rev (closure overrides incl. the boundary
+    # (2,0) pose where term == 0 exactly), tiny arc, and multi-revolution
+    for rev, n in ((1.0, 2000), (0.02, 40), (3.0, 1500)):
+        p = np.asarray(synth_circle_path(n, revolutions=rev))
+        assert np.isfinite(p).all(), f"synth rev={rev}: non-finite rows"
+        assert_in_domain(p[:, 0:2], f"synth_circle_path(rev={rev})")
+
+    # the legacy computed-torque pipeline (xydq_circle.txt format): the IK
+    # targets AND their jacfwd derivatives must stay finite over the run
+    rows = np.asarray(generate_circle_path(ARM, num_steps=500))
+    assert np.isfinite(rows).all(), "generate_circle_path: non-finite rows"
+    assert_in_domain(rows[:, 0:2], "generate_circle_path")
+
+    # the boundary pose itself is exact, not NaN: the closure override pins
+    # (2, 0) where the radicand is 0 by cancellation of exact f32 integers
+    r, xe, ye = arm_mod.ik_circle(jnp.asarray([2.0 * np.pi + 0.3]))
+    assert np.isfinite(np.asarray(r)).all() and float(xe[0]) == 2.0
+
+    # and the NaN edge is REAL (documented, reference-matching): the same
+    # circle is unreachable for a shorter arm, so the raw sqrt goes NaN —
+    # this is what the finiteness assertions above would catch
+    r_bad, _, _ = arm_mod.ik_circle(jnp.asarray([0.7]), l1=0.5, l2=0.5)
+    assert np.isnan(np.asarray(r_bad)).any()

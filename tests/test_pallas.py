@@ -382,6 +382,51 @@ def test_fast_select_variants_equal(ref_path, rng):
                                    atol=1e-5)
 
 
+def test_injected_eps_default_bitwise_at_large_tiles(ref_path, rng):
+    """Injected-eps replays stay BITWISE stable at every tile size under
+    default flags (round-4 advisor): trig_carry's auto-gate used to engage
+    at sub>=32 even in eps mode, so replaying recorded noise at K>=4096
+    silently lost bitwise pallas agreement with smaller-K runs of the same
+    flags.  Default now resolves to use_prng AND sub>=32 — pinned by
+    comparing the default against an explicit trig_carry=False run at a
+    sub=32 tile."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=4096, horizon=3)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(4096, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0,
+                                 cfg.search_idx_len)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    w_d, s_d, _ = pallas_solve_core(
+        ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+        eps=jnp.asarray(eps), interpret=True)
+    w_x, s_x, _ = pallas_solve_core(
+        ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+        eps=jnp.asarray(eps), interpret=True, trig_carry=False,
+        fast_select=False)
+    np.testing.assert_array_equal(np.asarray(s_d), np.asarray(s_x))
+    np.testing.assert_array_equal(np.asarray(w_d), np.asarray(w_x))
+
+
+def test_fast_select_requires_unrolled_window(ref_path):
+    """Explicit fast_select=True with the rolled window scan is rejected
+    rather than silently falling back to the exact metric (round-4
+    advisor); the None default resolves to the exact metric there."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=4)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0, 30)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    eps = jnp.zeros((128, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="unroll_w"):
+        pallas_solve_core(ARM, cfg, jnp.asarray(X0),
+                          jnp.zeros((4, 2), jnp.float32), window, nvalid,
+                          eps=eps, interpret=True, unroll_w=False,
+                          fast_select=True)
+    # and the default still works rolled (resolves to exact metric)
+    pallas_solve_core(ARM, cfg, jnp.asarray(X0),
+                      jnp.zeros((4, 2), jnp.float32), window, nvalid,
+                      eps=eps, interpret=True, unroll_w=False)
+
+
 def test_unmasked_window_scan_bitwise(ref_path, rng):
     """The unmasked tournament scan (round-3 default) is BIT-IDENTICAL to
     the masked one, including truncated windows at the path end: clamped

@@ -257,6 +257,60 @@ def test_grouped_interleaved_matches_group1(ref_path, rng):
     np.testing.assert_array_equal(np.asarray(ufin2), np.asarray(ufin1))
 
 
+def test_fast_select_matches_exact_both_kernels(ref_path, rng):
+    """Forcing the fast_select metric (and, in the stacked kernel, the
+    hoisted fast_coef coefficients) through BOTH sim kernels in interpret
+    mode reproduces the exact-metric run (round-4 advisor: the fast paths
+    were gated on use_prng, so no CI test ever executed them — equivalence
+    rested solely on the on-chip tools tpu_stacked_bitwise.py /
+    tpu_fused_fastsel_ab.py).
+
+    The window-centered reassociated score only differs from the exact
+    metric at ~1e-9, so on this fixture no selection flips occur and the
+    runs agree bitwise; a regression in the fast_coef hoist (wrong sign,
+    wrong centering row, stale stacking) flips selections immediately."""
+    from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
+    # stacked kernel: K=128 (sub=1), group=4 -> fast_coef hoist path
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
+    ref = jnp.asarray(ref_path[:300], jnp.float32)
+    B, steps = 4, 6
+    eps = (rng.normal(size=(B, steps, 128, 6, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    q0 = (jnp.tile(jnp.asarray([SIM.q0], jnp.float32), (B, 1))
+          + 0.01 * jnp.arange(B)[:, None])
+    args = (ARM, cfg, SIM, ref, q0, jnp.zeros((B, 2), jnp.float32),
+            jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, 6, 1)),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, jnp.int32), steps)
+    rec_x, ufin_x = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                           interpret=True, group=4,
+                                           fast_select=False)
+    rec_f, ufin_f = pallas_sim_run_batched(*args, eps=jnp.asarray(eps),
+                                           interpret=True, group=4,
+                                           fast_select=True)
+    np.testing.assert_array_equal(np.asarray(rec_f), np.asarray(rec_x),
+                                  err_msg="stacked kernel records")
+    np.testing.assert_array_equal(np.asarray(ufin_f), np.asarray(ufin_x),
+                                  err_msg="stacked kernel u_final")
+
+    # interleaved kernel: K=256 (sub=2) routes group=1 to _sim_kernel
+    cfg2 = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=5)
+    eps2 = (rng.normal(size=(1, steps, 256, 5, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    args2 = (ARM, cfg2, SIM, ref, q0[:1], jnp.zeros((1, 2), jnp.float32),
+             jnp.tile(jnp.asarray(cfg2.warm_start, jnp.float32), (1, 5, 1)),
+             jnp.zeros(1, jnp.int32), jnp.zeros(1, jnp.int32), steps)
+    rec_x2, ufin_x2 = pallas_sim_run_batched(*args2, eps=jnp.asarray(eps2),
+                                             interpret=True, group=1,
+                                             fast_select=False)
+    rec_f2, ufin_f2 = pallas_sim_run_batched(*args2, eps=jnp.asarray(eps2),
+                                             interpret=True, group=1,
+                                             fast_select=True)
+    np.testing.assert_array_equal(np.asarray(rec_f2), np.asarray(rec_x2),
+                                  err_msg="interleaved kernel records")
+    np.testing.assert_array_equal(np.asarray(ufin_f2), np.asarray(ufin_x2),
+                                  err_msg="interleaved kernel u_final")
+
+
 def test_grouped_fused_validates_divisibility(ref_path):
     from mppi_robotarm_tpu.ops.pallas_sim import pallas_sim_run_batched
     cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=6)
