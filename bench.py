@@ -10,12 +10,24 @@ Baseline: the reference implementation measured ~199 ms/solve at K=100,T=30
 on one CPU core and scales ~linearly in K·T ⇒ ~7.0 s/solve at K=1024,H=50
 (BASELINE.md) ⇒ 0.143 solves/s.  BASELINE.json north-star target: ≥1000.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line (the driver contract).  Round-5 (VERDICT item 1): the
+line now also carries QUALITY and TRUE DEVICE RATE so regressions in either
+are visible round-over-round, not just gated:
+
+  * ``on_path_mean_mm`` — the tracking quality the gate asserts on (was
+    previously computed, asserted, and thrown away);
+  * ``device_us_per_step`` — the two-chain-length fit's device-only rate
+    (the wall-clock headline carries ~35% fixed tunnel dispatch);
+  * ``high_accuracy_on_path_mean_mm`` — a second gated tracking run of
+    ``high_accuracy_preset`` (delta_t = 0.003, the round-4 Q2 mechanism
+    fix) at the same shape, with its own calibrated gate — the framework's
+    "beats the reference's tracking" claim, re-measured every round.
 
 By default every backend (pallas-fused whole-loop kernel, per-step fused
 pallas solve, portable XLA scan) is measured and reported on stderr so
 regressions in the fallback paths stay visible; pass ``--first-only`` to
-stop at the first working backend (bounded wall time for quick runs).
+stop at the first working backend (bounded wall time for quick runs; skips
+the high-accuracy run and the slope fit).
 """
 
 import json
@@ -91,6 +103,7 @@ def main() -> None:
 
     # Decompose wall time into device rate + fixed dispatch constant with a
     # second, shorter chain of the winning backend (two-point fit).
+    device_us_per_step = None
     if best_backend == "pallas-fused" and not first_only:
         try:
             short = 1000
@@ -104,6 +117,7 @@ def main() -> None:
             t_long = steps / solves_per_s
             slope = (t_long - min(t_s)) / (steps - short)
             fixed = t_long - slope * steps
+            device_us_per_step = 1e6 * slope
             print(f"# device-only: {1e6 * slope:.2f} us/step "
                   f"({1 / slope:,.0f} solves/s); fixed dispatch "
                   f"{fixed * 1e3:.1f} ms/launch", file=sys.stderr)
@@ -141,13 +155,53 @@ def main() -> None:
         f"degenerate bench run: on-path EE error {on_path.mean() * 1e3:.1f} "
         f"mm mean (gate 42 mm; 8-seed calibration 8.4-31.7 mm at this exact "
         f"config)")
+    on_path_mean_mm = float(on_path.mean() * 1e3)
 
-    print(json.dumps({
+    # ---- high-accuracy tracking run (round-5 VERDICT item 1) --------------
+    # Same shape (K=1024, H=50, 8000-pt path, 4000-step chain), controller
+    # delta_t matched to the plant (high_accuracy_preset, the round-4 Q2
+    # mechanism isolation).  Gate calibrated from the 8-seed on-chip sweep
+    # at THIS configuration (tools/tpu_bench_gate_sweep.py 8 high_accuracy,
+    # 2026-08-21): spread 4.1-11.9 mm, mean 7.0 — vs the parity semantics'
+    # 8.4-31.7 / 21.0 at the same shape, and the reference loop's measured
+    # 10.8 mm at its own config (BASELINE.md).
+    HA_GATE_MM = 16.0     # max of the 8-seed sweep (11.9) + 30% margin
+    ha_mm = None
+    if not first_only:
+        try:
+            from mppi_robotarm_tpu import high_accuracy_preset
+            arm_h, cfg_h, sim_h = high_accuracy_preset()
+            state_h = init_sim(cfg_h, sim_h, jax.random.PRNGKey(0))
+            _, rec_h = simulate_fused(arm_h, cfg_h, sim_h, ref_path,
+                                      state_h, steps)
+            jax.block_until_ready(rec_h.q)
+            ee_h = np.asarray(rec_h.ee)[~np.asarray(rec_h.done)][:1500]
+            op_h = np.empty(len(ee_h))
+            for i in range(0, len(ee_h), 256):
+                d = np.linalg.norm(ee_h[i:i + 256, None, :] - path_xy[None],
+                                   axis=-1)
+                op_h[i:i + 256] = d.min(axis=1)
+            ha_mm = float(op_h.mean() * 1e3)
+            print(f"# high_accuracy_preset: on-path mean {ha_mm:.2f} mm "
+                  f"(gate {HA_GATE_MM} mm)", file=sys.stderr)
+            assert ha_mm < HA_GATE_MM, (
+                f"high-accuracy tracking regression: {ha_mm:.2f} mm mean "
+                f"(gate {HA_GATE_MM} mm from the 8-seed calibration sweep)")
+        except ImportError:
+            pass
+
+    out = {
         "metric": "mppi_solves_per_s_per_chip_K1024_H50",
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 1),
-    }))
+        "on_path_mean_mm": round(on_path_mean_mm, 2),
+    }
+    if device_us_per_step is not None:
+        out["device_us_per_step"] = round(device_us_per_step, 2)
+    if ha_mm is not None:
+        out["high_accuracy_on_path_mean_mm"] = round(ha_mm, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

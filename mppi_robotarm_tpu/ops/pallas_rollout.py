@@ -121,7 +121,7 @@ def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
                    cfg: MPPIConfig, window_len: int, unroll: bool = False,
                    xy=None, masked: bool = False, fast_select: bool = False,
-                   fast_coef=None):
+                   fast_coef=None, packed_select: bool = False):
     """Frozen-window nearest-waypoint cost on (S, 128) tiles.
 
     Argmin over the W=30 window with first-win tie-breaking (strict ``<``),
@@ -151,6 +151,54 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
         x, y = xy               # reuses its sin/cos for the next dynamics)
     inf = jnp.float32(np.inf)
     zero = jnp.zeros(x.shape, jnp.float32)
+
+    if packed_select:
+        # PACKED-ARGMIN tournament (round-4 VERDICT item 2): instead of
+        # carrying 5-tuples (1 compare + 5 selects per merge), pack the
+        # non-negative selection metric and the row index into ONE int32 —
+        # the raw squared distance (dist_scale dropped: positive, so the
+        # argmin is unchanged) bitcast to int32 is order-preserving for
+        # non-negative f32, its low 5 bits are replaced by the row index
+        # (< 32 = W cap), and the whole tree reduces with single integer
+        # ``min`` ops.  Masking the 5 low mantissa bits quantises the
+        # comparison at ~2^-18 relative (ties resolve to the SMALLER index
+        # = first-win, the reference's tie rule) — same equivalence class
+        # of selection perturbation as fast_select's ~1e-9 reassociation,
+        # gated by the same on-chip trajectory-equivalence tools.  The
+        # winner's 4 window values are reconstructed ONCE at the root by a
+        # one-hot masked sum tree.  Requires the unrolled unmasked mode
+        # (production path).  Measured on-chip vs the 5-tuple tournament
+        # in tools/tpu_tournament_ab.py — see DESIGN.md for the verdict.
+        assert unroll and not masked, "packed_select is unrolled+unmasked only"
+
+        def pleaf(j):
+            dx = x - win_ref[j, 0]
+            dy = y - win_ref[j, 1]
+            d = dx * dx + dy * dy
+            di = jax.lax.bitcast_convert_type(d, jnp.int32)
+            return (di & jnp.int32(-32)) | jnp.int32(j)
+
+        nodes = [pleaf(j) for j in range(window_len)]
+        while len(nodes) > 1:
+            nxt = [jnp.minimum(nodes[i], nodes[i + 1])
+                   for i in range(0, len(nodes) - 1, 2)]
+            if len(nodes) % 2:
+                nxt.append(nodes[-1])
+            nodes = nxt
+        idx = nodes[0] & jnp.int32(31)
+        masks = [idx == j for j in range(window_len)]
+        terms = [tuple(jnp.where(masks[j], win_ref[j, k], 0.0)
+                       for k in range(4))
+                 for j in range(window_len)]
+        while len(terms) > 1:
+            nxt = [tuple(a + b for a, b in zip(terms[i], terms[i + 1]))
+                   for i in range(0, len(terms) - 1, 2)]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        b0, b1, b2, b3 = terms[0]
+        return (w0 * (x - b0) ** 2 + w1 * (y - b1) ** 2
+                + w2 * (dq1 - b2) ** 2 + w3 * (dq2 - b3) ** 2) * cfg.cost_scale
 
     if unroll:
         # leaves: (d_j, waypoint values) — d computations are mutually
@@ -295,6 +343,7 @@ def _solve_kernel(
     unroll_w: bool = True,
     trig_carry: bool = True,
     fast_select: bool = False,
+    packed_select: bool = False,
 ):
     T = cfg.horizon
     sub = tile // _LANES
@@ -406,7 +455,8 @@ def _solve_kernel(
                                    *stage_w, cfg=cfg,
                                    window_len=cfg.search_idx_len,
                                    unroll=unroll_w, xy=(x, y),
-                                   fast_select=fast_select)
+                                   fast_select=fast_select,
+                                   packed_select=packed_select)
             s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
             return q1, q2, dq1, dq2, s, c1, s1v, c12, s12
 
@@ -430,7 +480,8 @@ def _solve_kernel(
             s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
                                    *stage_w, cfg=cfg,
                                    window_len=cfg.search_idx_len,
-                                   unroll=unroll_w, fast_select=fast_select)
+                                   unroll=unroll_w, fast_select=fast_select,
+                                   packed_select=packed_select)
             s = s + gamma * (v1 * su_ref[t, 0] + v2 * su_ref[t, 1])
             return q1, q2, dq1, dq2, s
 
@@ -441,7 +492,8 @@ def _solve_kernel(
     s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, *term_w,
                            cfg=cfg, window_len=cfg.search_idx_len,
                            unroll=unroll_w, xy=term_xy,
-                           fast_select=fast_select)
+                           fast_select=fast_select,
+                           packed_select=packed_select)
     # Padding samples (local k >= k_actual) must not influence the softmax:
     # their cost is +inf so exp(-(S-m)/lam) underflows to exactly 0.
     s = jnp.where(k_local_idx < k_actual, s, jnp.float32(np.inf))
@@ -551,6 +603,10 @@ def pallas_solve_batched(
                                           # (None = on for PRNG mode, off for
                                           # the injected-eps parity seam;
                                           # requires unroll_w=True)
+    packed_select: bool = False,          # packed-argmin tournament A/B
+                                          # (tools/tpu_tournament_ab.py);
+                                          # overrides fast_select, requires
+                                          # unroll_w=True
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
@@ -657,11 +713,15 @@ def pallas_solve_batched(
         raise ValueError(
             "fast_select=True requires unroll_w=True: the rolled window "
             "scan always evaluates the exact selection metric")
+    if packed_select:
+        if not unroll_w:
+            raise ValueError("packed_select requires unroll_w=True")
+        fast_select = False          # packed replaces the selection metric
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
         emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,
         unroll_t=unroll_t, unroll_w=unroll_w, trig_carry=trig_carry,
-        fast_select=fast_select)
+        fast_select=fast_select, packed_select=packed_select)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -741,6 +801,7 @@ def pallas_solve_core(
                                           # (None = auto by tile size)
     fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
                                           # (None = on for PRNG mode only)
+    packed_select: bool = False,          # packed-argmin tournament A/B
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
@@ -756,5 +817,6 @@ def pallas_solve_core(
         interpret=interpret, tile=tile, emit_eps=emit_eps,
         fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
         trig_carry=trig_carry, fast_select=fast_select,
+        packed_select=packed_select,
     )
     return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

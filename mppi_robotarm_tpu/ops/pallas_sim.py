@@ -258,6 +258,7 @@ def _sim_kernel(
     unroll_t: bool = False,
     group: int = 1,
     fast_select: bool = False,
+    packed_select: bool = False,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
@@ -420,7 +421,8 @@ def _sim_kernel(
                 s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                        nvalid[g], *stage_w, cfg=cfg,
                                        window_len=W, unroll=True, xy=(x, y),
-                                       fast_select=fast_select)
+                                       fast_select=fast_select,
+                                       packed_select=packed_select)
                 su1 = si0 * u1r + si1 * u2r          # Σ⁻¹ u rows
                 su2 = si2 * u1r + si3 * u2r
                 s = s + gamma * (v1 * su1 + v2 * su2)
@@ -440,7 +442,8 @@ def _sim_kernel(
             s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
                                    nvalid[g], *term_w, cfg=cfg,
                                    window_len=W, unroll=True, xy=(xT, yT),
-                                   fast_select=fast_select)
+                                   fast_select=fast_select,
+                                   packed_select=packed_select)
             s = jnp.where(k_idx < k_actual, s, inf)
 
             m = jnp.min(s)
@@ -561,6 +564,7 @@ def _sim_kernel_stacked(
     unroll_t: bool = False,
     group: int = 1,
     fast_select: bool = False,
+    packed_select: bool = False,
 ):
     """SUBLANE-STACKED variant of :func:`_sim_kernel` for K ≤ 128 fleets.
 
@@ -748,7 +752,8 @@ def _sim_kernel_stacked(
                                    *stage_w, cfg=cfg, window_len=W,
                                    unroll=True, xy=(x, y),
                                    fast_select=fast_select,
-                                   fast_coef=fast_coef)
+                                   fast_coef=fast_coef,
+                                   packed_select=packed_select)
             su1 = si0 * u1r + si1 * u2r
             su2 = si2 * u1r + si3 * u2r
             s = s + gamma * (v1 * su1 + v2 * su2)
@@ -762,7 +767,8 @@ def _sim_kernel_stacked(
         s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec, *term_w,
                                cfg=cfg, window_len=W, unroll=True,
                                xy=(xT, yT), fast_select=fast_select,
-                               fast_coef=fast_coef)
+                               fast_coef=fast_coef,
+                               packed_select=packed_select)
         s = jnp.where(k_idx < k_actual, s, inf)
 
         # ---- per-scenario softmax = row-wise lane reductions --------------
@@ -844,6 +850,9 @@ def pallas_sim_run_batched(
                                          # explicit values let interpret-mode
                                          # tests force the fast path through
                                          # both kernels (round-4 advisor)
+    packed_select: bool = False,         # packed-argmin tournament A/B
+                                         # (tools/tpu_tournament_ab.py);
+                                         # overrides fast_select
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -878,6 +887,8 @@ def pallas_sim_run_batched(
     use_prng = eps is None
     if fast_select is None:
         fast_select = use_prng
+    if packed_select:
+        fast_select = False          # packed replaces the selection metric
     if B % group:
         raise ValueError(f"B={B} is not divisible by group={group}")
     G = group
@@ -924,7 +935,8 @@ def pallas_sim_run_batched(
         kernel = functools.partial(
             _sim_kernel_stacked, arm=arm, cfg=cfg, sim=sim,
             n_steps=n_steps, tile=tile, use_prng=use_prng,
-            unroll_t=unroll_t, group=G, fast_select=fast_select)
+            unroll_t=unroll_t, group=G, fast_select=fast_select,
+            packed_select=packed_select)
         u0_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -947,7 +959,7 @@ def pallas_sim_run_batched(
         kernel = functools.partial(
             _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps,
             tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G,
-            fast_select=fast_select)
+            fast_select=fast_select, packed_select=packed_select)
         u0_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)
         ufin_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
@@ -1013,6 +1025,7 @@ def pallas_sim_run(
     unroll_t: bool = False,
     step0=None,                          # () int32 absolute step at entry
     fast_select: Optional[bool] = None,  # see pallas_sim_run_batched
+    packed_select: bool = False,
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -1028,5 +1041,5 @@ def pallas_sim_run(
         eps=None if eps is None else jnp.asarray(eps)[None],
         interpret=interpret, unroll_t=unroll_t,
         step0=None if step0 is None else jnp.asarray(step0).reshape(1),
-        group=1, fast_select=fast_select)
+        group=1, fast_select=fast_select, packed_select=packed_select)
     return rec[0], ufin[0]

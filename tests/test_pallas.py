@@ -382,6 +382,40 @@ def test_fast_select_variants_equal(ref_path, rng):
                                    atol=1e-5)
 
 
+def test_packed_select_matches_exact(ref_path, rng):
+    """The packed-argmin tournament (round-5 A/B candidate,
+    tools/tpu_tournament_ab.py) selects the same waypoints as the exact
+    metric away from fp near-ties: the squared distance (dist_scale
+    dropped — positive, monotone) is bitcast to int32 (order-preserving
+    for non-negative f32) with the low 5 mantissa bits replaced by the row
+    index, so ties resolve to the smaller index (first-win) and the
+    comparison is quantised at ~2^-18 relative; the winner's values are
+    reconstructed exactly, and the final cost uses the exact formula."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=256, horizon=10)
+    t = cfg.horizon
+    u = np.tile(np.asarray(cfg.warm_start, np.float32), (t, 1))
+    eps = (rng.normal(size=(256, t, 2)) * np.sqrt(20.0)).astype(np.float32)
+    n = ref_path.shape[0]
+    for start in (0, n - 4):             # full + truncated window
+        window, valid = slice_window(jnp.asarray(ref_path, jnp.float32),
+                                     start, cfg.search_idx_len)
+        nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+        outs = {}
+        for packed in (False, True):
+            w_eps, s, _ = pallas_solve_core(
+                ARM, cfg, jnp.asarray(X0), jnp.asarray(u), window, nvalid,
+                eps=jnp.asarray(eps), interpret=True, packed_select=packed)
+            outs[packed] = (np.asarray(w_eps), np.asarray(s))
+        np.testing.assert_allclose(outs[True][1], outs[False][1], rtol=1e-5,
+                                   err_msg=f"S differs at start={start}")
+        np.testing.assert_allclose(outs[True][0], outs[False][0], rtol=1e-4,
+                                   atol=1e-5)
+    with pytest.raises(ValueError, match="unroll_w"):
+        pallas_solve_core(ARM, cfg, jnp.asarray(X0), jnp.asarray(u),
+                          window, nvalid, eps=jnp.asarray(eps),
+                          interpret=True, unroll_w=False, packed_select=True)
+
+
 def test_injected_eps_default_bitwise_at_large_tiles(ref_path, rng):
     """Injected-eps replays stay BITWISE stable at every tile size under
     default flags (round-4 advisor): trig_carry's auto-gate used to engage

@@ -6,7 +6,12 @@ the first 1500 live steps — for N seeds on the real chip, and prints the
 spread the bench gate must be calibrated against.  (The round-3 gate, 15 mm,
 was calibrated on a different configuration and failed every seed.)
 
-Usage: python tools/tpu_bench_gate_sweep.py [n_seeds]
+With ``high_accuracy`` as a second argument the same sweep runs the
+``high_accuracy_preset`` (delta_t = 0.003, round-4 Q2 mechanism isolation)
+at the bench shape instead — the calibration source for bench.py's
+high-accuracy quality gate (round-4 VERDICT item 1).
+
+Usage: python tools/tpu_bench_gate_sweep.py [n_seeds] [bench|high_accuracy]
 """
 
 import sys
@@ -29,7 +34,11 @@ from tools.tpu_window_sweep import onpath_mm  # noqa: E402
 
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    arm, cfg, sim = m.benchmark_preset()
+    preset = sys.argv[2] if len(sys.argv) > 2 else "bench"
+    if preset == "high_accuracy":
+        arm, cfg, sim = m.high_accuracy_preset()
+    else:
+        arm, cfg, sim = m.benchmark_preset()
     path = m.synth_circle_path(8000)
     ref = jnp.asarray(path)
     steps = 4000
