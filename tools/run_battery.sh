@@ -20,7 +20,19 @@ echo "=== round-4 optimization A/Bs (trig carry / fast_select) ==="
 python tools/tpu_trig_ab.py
 python tools/tpu_fastsel_ab.py
 python tools/tpu_fused_fastsel_ab.py
+echo "=== round-5 A/Bs (packed-argmin tournament / noise generation) ==="
+python tools/tpu_tournament_ab.py
+python tools/tpu_noise_ab.py
+echo "=== TPU-only pytest assertions (seed space / PRNG statistics) ==="
+# these two skip on CPU (hardware PRNG) and run NOWHERE else (round-4
+# VERDICT weak #3) — execute them here, on the chip, with skips forbidden
+python -m pytest tests/test_pallas.py \
+    -k "prng_mode_statistics or seed_space" -v -rs \
+    | tee /dev/stderr | grep -q "2 passed" || echo "PYTEST STAGE FAILED"
 echo "=== bench-config tracking spread (gate calibration source) ==="
 python tools/tpu_bench_gate_sweep.py 4
+python tools/tpu_bench_gate_sweep.py 4 high_accuracy
+echo "=== config-4 scenario scale (B=32768, auto-chunked records) ==="
+python tools/tpu_bench_batch.py 32768 128 30
 echo "=== headline bench ==="
 python bench.py

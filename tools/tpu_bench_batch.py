@@ -74,10 +74,17 @@ def main():
             ee = np.asarray(rec.ee[-1])
             err = np.linalg.norm(
                 ee - np.asarray(ref)[steps, 0:2], axis=-1)
+            try:    # peak HBM (config-4 scale evidence, round-5 item 5)
+                stats = jax.devices()[0].memory_stats() or {}
+                peak = stats.get("peak_bytes_in_use", 0)
+                peak_s = f"; peak HBM {peak / 2**20:.0f} MiB"
+            except Exception:
+                peak_s = ""
             print(f"{name:7}: B={b} K={k} T={t}: "
                   f"{total_solves/best:12.0f} scenario-solves/s "
                   f"({best/steps*1e3:.2f} ms/batched-step; "
-                  f"median EE err @step{steps}: {np.median(err)*1e3:.1f} mm)",
+                  f"median EE err @step{steps}: {np.median(err)*1e3:.1f} mm"
+                  f"{peak_s})",
                   flush=True)
         except Exception as e:
             print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",

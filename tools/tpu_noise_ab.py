@@ -94,6 +94,9 @@ def timeit(fn, reps=3):
 
 
 def main():
+    # sections selectable so one chip session stays under the wedge-retry
+    # budget: moments | solve | fused | all (default all)
+    section = sys.argv[1] if len(sys.argv) > 1 else "all"
     print("devices:", jax.devices(), flush=True)
     arm, sim = ArmParams(), SimConfig()
     ref = jnp.asarray(synth_circle_path(8000))
@@ -106,7 +109,8 @@ def main():
     x0 = jnp.asarray([[1.1522, -1.2661, 0.0, 0.0]], jnp.float32)
     u8 = jnp.tile(jnp.asarray(cfg8.warm_start, jnp.float32),
                   (1, cfg8.horizon, 1))
-    for name, fn in (("orig", ORIG), ("sqrtsin", bm_sqrtsin)):
+    for name, fn in (() if section not in ("moments", "all")
+                     else (("orig", ORIG), ("sqrtsin", bm_sqrtsin))):
         set_bm(fn)
         _, _, eps, _ = pr.pallas_solve_batched(
             arm, cfg8, x0, u8, window[None], nvalid,
@@ -124,42 +128,56 @@ def main():
         assert abs(cov - cov_exp) < 0.5 + 0.05 * abs(cov_exp), (name, cov)
 
     # ---- per-step solve kernel, K=65536 -----------------------------------
+    # chained two-length fit (tpu_fastsel_ab.py methodology): the tunnel's
+    # ~25-30 ms fixed dispatch would otherwise swamp the ~750 us kernel
     cfg = dataclasses.replace(MPPIConfig(), num_samples=65536, horizon=50)
-    T = cfg.horizon
-    u = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (1, T, 1))
     window65, valid65 = slice_window(ref, 0, cfg.search_idx_len)
-    nvalid65 = jnp.asarray([np.float32(np.asarray(valid65).sum())])
-    seed = jnp.asarray([7], jnp.int32)
+    nvalid65 = jnp.sum(valid65.astype(jnp.float32))
+    x0s = jnp.asarray([1.1522, -1.2661, 0.0, 0.0], jnp.float32)
+    u0 = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                  (cfg.horizon, 1))
+
+    def make_chain(n):
+        def chain():
+            def body(c, _):
+                u_c, seed_c = c
+                w_eps, s, _ = pr.pallas_solve_core(
+                    arm, cfg, x0s, u_c, window65, nvalid65, seed=seed_c,
+                    step=seed_c, fuse_update=True, emit_eps=False,
+                    unroll_t=True)
+                return (w_eps, seed_c + 1), s[0:8]
+            (u_f, _), ss = jax.lax.scan(
+                body, (u0, jnp.asarray(0, jnp.int32)), None, length=n)
+            return u_f, ss
+        return jax.jit(chain)
 
     res = {}
-    for name, fn in (("orig", ORIG), ("uniforms_only", bm_uniforms_only),
-                     ("const", bm_const), ("sqrtsin", bm_sqrtsin)):
+    variants = (("orig", ORIG), ("uniforms_only", bm_uniforms_only),
+                ("const", bm_const), ("sqrtsin", bm_sqrtsin))
+    for name, fn in (variants if section in ("solve", "all") else ()):
         set_bm(fn)
-
-        @jax.jit
-        def run():
-            w, s, _, st = pr.pallas_solve_batched(
-                arm, cfg, x0, u, window65[None], nvalid65, seed=seed,
-                emit_eps=False, fuse_update=True)
-            return w, s, st
-        t = timeit(run)
+        t64 = timeit(make_chain(64))
+        t16 = timeit(make_chain(16))
+        t = (t64 - t16) / 48
         res[name] = t
-        print(f"solve K=65536 {name}: {t * 1e6:.1f} us/solve "
+        print(f"solve K=65536 {name}: {t * 1e6:.1f} us/solve device "
               f"({1 / t:,.0f} solves/s)", flush=True)
-    bm_share = (res["orig"] - res["uniforms_only"]) / res["orig"]
-    noise_share = (res["orig"] - res["const"]) / res["orig"]
-    print(f"K=65536 noise shares: Box-Muller transcendentals "
-          f"{bm_share * 100:.1f}%, total noise {noise_share * 100:.1f}%; "
-          f"sqrtsin speedup {res['orig'] / res['sqrtsin']:.3f}x", flush=True)
-    out["solve_K65536"] = {
-        "orig_us": round(res["orig"] * 1e6, 1),
-        "uniforms_only_us": round(res["uniforms_only"] * 1e6, 1),
-        "const_us": round(res["const"] * 1e6, 1),
-        "sqrtsin_us": round(res["sqrtsin"] * 1e6, 1),
-        "bm_transcendental_share": round(bm_share, 3),
-        "total_noise_share": round(noise_share, 3),
-        "sqrtsin_speedup": round(res["orig"] / res["sqrtsin"], 3),
-        "sqrtsin_solves_per_s": round(1 / res["sqrtsin"], 0)}
+    if res:
+        bm_share = (res["orig"] - res["uniforms_only"]) / res["orig"]
+        noise_share = (res["orig"] - res["const"]) / res["orig"]
+        print(f"K=65536 noise shares: Box-Muller transcendentals "
+              f"{bm_share * 100:.1f}%, total noise {noise_share * 100:.1f}%; "
+              f"sqrtsin speedup {res['orig'] / res['sqrtsin']:.3f}x",
+              flush=True)
+        out["solve_K65536"] = {
+            "orig_us": round(res["orig"] * 1e6, 1),
+            "uniforms_only_us": round(res["uniforms_only"] * 1e6, 1),
+            "const_us": round(res["const"] * 1e6, 1),
+            "sqrtsin_us": round(res["sqrtsin"] * 1e6, 1),
+            "bm_transcendental_share": round(bm_share, 3),
+            "total_noise_share": round(noise_share, 3),
+            "sqrtsin_speedup": round(res["orig"] / res["sqrtsin"], 3),
+            "sqrtsin_solves_per_s": round(1 / res["sqrtsin"], 0)}
 
     # ---- fused whole-loop kernel, bench shape -----------------------------
     cfg1k = dataclasses.replace(MPPIConfig(), num_samples=1024, horizon=50)
@@ -176,8 +194,9 @@ def main():
         return jax.jit(run)
 
     resf = {}
-    for name, fn in (("orig", ORIG), ("uniforms_only", bm_uniforms_only),
-                     ("sqrtsin", bm_sqrtsin)):
+    for name, fn in ((("orig", ORIG), ("uniforms_only", bm_uniforms_only),
+                      ("sqrtsin", bm_sqrtsin))
+                     if section in ("fused", "all") else ()):
         set_bm(fn)
         t4k, t1k = timeit(make_run(4000)), timeit(make_run(1000))
         t_step = (t4k - t1k) / 3000
@@ -185,17 +204,18 @@ def main():
         print(f"fused K=1024 {name}: {t_step * 1e6:.2f} us/step device",
               flush=True)
     set_bm(ORIG)
-    print(f"fused K=1024: BM transcendental share "
-          f"{(resf['orig'] - resf['uniforms_only']) / resf['orig'] * 100:.1f}%"
-          f"; sqrtsin speedup {resf['orig'] / resf['sqrtsin']:.3f}x",
-          flush=True)
-    out["fused_K1024"] = {
-        "orig_us": round(resf["orig"] * 1e6, 2),
-        "uniforms_only_us": round(resf["uniforms_only"] * 1e6, 2),
-        "sqrtsin_us": round(resf["sqrtsin"] * 1e6, 2),
-        "bm_transcendental_share": round(
-            (resf["orig"] - resf["uniforms_only"]) / resf["orig"], 3),
-        "sqrtsin_speedup": round(resf["orig"] / resf["sqrtsin"], 3)}
+    if resf:
+        print(f"fused K=1024: BM transcendental share "
+              f"{(resf['orig'] - resf['uniforms_only']) / resf['orig'] * 100:.1f}%"
+              f"; sqrtsin speedup {resf['orig'] / resf['sqrtsin']:.3f}x",
+              flush=True)
+        out["fused_K1024"] = {
+            "orig_us": round(resf["orig"] * 1e6, 2),
+            "uniforms_only_us": round(resf["uniforms_only"] * 1e6, 2),
+            "sqrtsin_us": round(resf["sqrtsin"] * 1e6, 2),
+            "bm_transcendental_share": round(
+                (resf["orig"] - resf["uniforms_only"]) / resf["orig"], 3),
+            "sqrtsin_speedup": round(resf["orig"] / resf["sqrtsin"], 3)}
     print(json.dumps(out), flush=True)
 
 

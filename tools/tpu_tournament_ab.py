@@ -107,27 +107,39 @@ def fused_loop_ab(arm, sim, ref, ref_np, out):
 
 
 def solve_k65536_ab(arm, ref, out):
+    # chained two-length fit (the tpu_fastsel_ab.py methodology): the axon
+    # tunnel adds ~25-30 ms FIXED dispatch per program, so single-invocation
+    # timing is overhead-dominated at this kernel's ~750 us scale
+    from mppi_robotarm_tpu.ops import pallas_rollout as pr
     cfg = dataclasses.replace(MPPIConfig(), num_samples=65536, horizon=50)
-    T = cfg.horizon
-    x0 = jnp.asarray([[1.1522, -1.2661, 0.0, 0.0]], jnp.float32)
-    u = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (1, T, 1))
     window, valid = slice_window(ref, 0, cfg.search_idx_len)
-    window = window[None]
-    nvalid = jnp.asarray([np.float32(np.asarray(valid).sum())])
-    seed = jnp.asarray([7], jnp.int32)
+    nvalid = jnp.sum(valid.astype(jnp.float32))
+    x0 = jnp.asarray([1.1522, -1.2661, 0.0, 0.0], jnp.float32)
+    u0 = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                  (cfg.horizon, 1))
+
+    def make_chain(n, packed):
+        def chain():
+            def body(c, _):
+                u, seed = c
+                w_eps, s, _ = pr.pallas_solve_core(
+                    arm, cfg, x0, u, window, nvalid, seed=seed, step=seed,
+                    fuse_update=True, emit_eps=False, unroll_t=True,
+                    packed_select=packed)
+                return (w_eps, seed + 1), s[0:8]
+            (u_f, _), ss = jax.lax.scan(
+                body, (u0, jnp.asarray(0, jnp.int32)), None, length=n)
+            return u_f, ss
+        return jax.jit(chain)
 
     res = {}
     for packed in (False, True):
-        @jax.jit
-        def run(packed=packed):
-            w, s, _, st = pallas_solve_batched(
-                arm, cfg, x0, u, window, nvalid, seed=seed,
-                emit_eps=False, fuse_update=True, packed_select=packed)
-            return w, s, st
-        t = timeit(run)
+        t64 = timeit(make_chain(64, packed))
+        t16 = timeit(make_chain(16, packed))
+        t = (t64 - t16) / 48
         res[packed] = t
         name = "packed" if packed else "fast_select(prod)"
-        print(f"solve K=65536 {name}: {t * 1e6:.1f} us/solve "
+        print(f"solve K=65536 {name}: {t * 1e6:.1f} us/solve device "
               f"({1 / t:,.0f} solves/s)", flush=True)
     speedup = res[False] / res[True]
     print(f"solve K=65536: packed is {speedup:.3f}x vs production",
