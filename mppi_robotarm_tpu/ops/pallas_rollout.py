@@ -43,6 +43,7 @@ from .noise import sigma_cholesky, sigma_inverse
 
 _LANES = 128
 _TWO_PI = 2.0 * math.pi
+_SQRT2 = math.sqrt(2.0)
 
 
 def _pick_tile(k: int, horizon: int = 50) -> int:
@@ -84,8 +85,43 @@ def _box_muller(shape):
     return r * jnp.cos(theta), r * jnp.sin(theta)
 
 
+def _symmetric_from_bits(bits):
+    """uint32 -> f32 in [-1+2^-24, 1-2^-24], symmetric, NEVER ±1.
+
+    x = (k + (0.5 - 2^23))·2^-23 for the top-24-bit integer k: every value
+    and both arithmetic steps are exact in f32 (k·2^-23 needs exactly the
+    24-bit mantissa; the subtraction is Sterbenz-exact near 1), extremes
+    ±(1 - 2^-24) — so √2·erfinv stays finite, peaking at 5.42σ.  The (0,1] converter's ``2u - 1`` is NOT safe here: its
+    top bin (2^24-1)·2^-24 + 2^-25 is exactly halfway between 1-2^-24 and
+    1.0, round-to-even lands on 1.0, and erf_inv(1.0) = inf (measured as a
+    NaN tracking run, tools/tpu_microlever_ab.py)."""
+    b = jax.lax.shift_right_logical(pltpu.bitcast(bits, jnp.uint32),
+                                    jnp.uint32(8))
+    b = pltpu.bitcast(b, jnp.int32)
+    return b.astype(jnp.float32) * (1.0 / (1 << 23)) - (1.0 - 0.5 ** 24)
+
+
+def _icdf_normals(shape):
+    """Two standard-normal arrays via the erfinv inverse CDF.
+
+    z = √2·erfinv(x) for symmetric 24-bit-grid x: ONE transcendental per
+    normal vs Box-Muller's four (log, sqrt, cos, sin) per pair.  OPT-IN,
+    not the production default: measured only ~1.03x median on the fused
+    loop (within day noise) and it cancels approx_recip's K=65536 win when
+    combined — tools/tpu_microlever_ab.py, DESIGN item 19.
+    Tail reach is |z| ≤ √2·erfinv(1-2^-24) = 5.42σ — the inherent limit of
+    a 24-bit-uniform ICDF, barely narrower than Box-Muller's 5.9σ (via
+    log(2^-25)); the truncated mass beyond 5.42σ is ~6e-8.  Moments match
+    Box-Muller to <0.1% and |z|max 5.22σ observed at K=8192×T=50 (on-chip
+    assertions, tools/tpu_microlever_ab.py).
+    """
+    x1 = _symmetric_from_bits(pltpu.prng_random_bits(shape))
+    x2 = _symmetric_from_bits(pltpu.prng_random_bits(shape))
+    return (jax.lax.erf_inv(x1) * _SQRT2, jax.lax.erf_inv(x2) * _SQRT2)
+
+
 def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
-                        c1, c2, s2, c12):
+                        c1, c2, s2, c12, approx_recip: bool = False):
     """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)
     with the trig of the CURRENT state supplied by the caller.
 
@@ -93,6 +129,14 @@ def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
     already hold sin/cos of q1 and q1+q2 (e.g. the fused loop's tracking-cost
     FK of the previous iteration) can derive c2/s2 via the angle-difference
     identities instead of paying two more transcendental expansions.
+
+    ``approx_recip`` replaces the mass-matrix determinant divide — on the
+    CRITICAL serial chain of every rollout step — with the hardware fast
+    reciprocal (~1.5e-5 relative error; 1.10-1.14x at K=65536 across three
+    same-session A/Bs, neutral on the fused loop —
+    tools/tpu_microlever_ab.py, DESIGN item 19).  VECTOR inputs only:
+    Mosaic's approx lowering rejects scalars, and the scalar users (the
+    plant step and waypoint phases) must keep exact division anyway.
     """
     m11 = (p.m1 * p.lc1 ** 2 + p.l1
            + p.m2 * (p.l1 ** 2 + p.lc2 ** 2 + 2.0 * p.l1 * p.lc2 * c2) + p.l2)
@@ -103,7 +147,8 @@ def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
     g2 = p.m2 * p.lc2 * p.g * c12
     r1 = v1 - (-h * dq2 * dq1 + (-h * dq1 - h * dq2) * dq2) - g1
     r2 = v2 - (h * dq1 * dq1) - g2
-    inv_det = 1.0 / (m11 * m22 - m12 * m12)
+    det = m11 * m22 - m12 * m12
+    inv_det = pl.reciprocal(det, approx=True) if approx_recip else 1.0 / det
     ddq1 = (m22 * r1 - m12 * r2) * inv_det
     ddq2 = (-m12 * r1 + m11 * r2) * inv_det
     dq1 = dq1 + ddq1 * dt
@@ -111,11 +156,12 @@ def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
     return q1 + dq1 * dt, q2 + dq2 * dt, dq1, dq2
 
 
-def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams):
+def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
+                   approx_recip: bool = False):
     """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)."""
     return _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p,
                                jnp.cos(q1), jnp.cos(q2), jnp.sin(q2),
-                               jnp.cos(q1 + q2))
+                               jnp.cos(q1 + q2), approx_recip=approx_recip)
 
 
 def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
@@ -344,6 +390,8 @@ def _solve_kernel(
     trig_carry: bool = True,
     fast_select: bool = False,
     packed_select: bool = False,
+    icdf_noise: bool = False,
+    approx_recip: bool = False,
 ):
     T = cfg.horizon
     sub = tile // _LANES
@@ -387,10 +435,11 @@ def _solve_kernel(
         # bit-continuable across the upgrade (injected-eps replay is
         # version-stable; see PARITY.md changelog).
         tc = max(1, 2048 // sub)
+        draw = _icdf_normals if icdf_noise else _box_muller
         t0 = 0
         while t0 < T:
             n = min(tc, T - t0)
-            z1, z2 = _box_muller((n * sub, _LANES))
+            z1, z2 = draw((n * sub, _LANES))
             eps_buf[pl.ds(t0, n)] = (l11 * z1).reshape(n, sub, _LANES)
             eps_buf[pl.ds(T + t0, n)] = \
                 (l21 * z1 + l22 * z2).reshape(n, sub, _LANES)
@@ -443,7 +492,8 @@ def _solve_kernel(
             c2 = c12 * c1 + s12 * s1v
             s2v = s12 * c1 - c12 * s1v
             q1, q2, dq1, dq2 = _dynamics_step_trig(
-                q1, q2, dq1, dq2, v1, v2, dt, arm, c1, c2, s2v, c12)
+                q1, q2, dq1, dq2, v1, v2, dt, arm, c1, c2, s2v, c12,
+                approx_recip=approx_recip)
             c1 = jnp.cos(q1)
             s1v = jnp.sin(q1)
             q12 = q1 + q2
@@ -476,7 +526,8 @@ def _solve_kernel(
                 v1 = jnp.clip(v1, -cfg.u_clamp, cfg.u_clamp)
                 v2 = jnp.clip(v2, -cfg.u_clamp, cfg.u_clamp)
             q1, q2, dq1, dq2 = _dynamics_step(q1, q2, dq1, dq2, v1, v2,
-                                              dt, arm)
+                                              dt, arm,
+                                              approx_recip=approx_recip)
             s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
                                    *stage_w, cfg=cfg,
                                    window_len=cfg.search_idx_len,
@@ -607,6 +658,14 @@ def pallas_solve_batched(
                                           # (tools/tpu_tournament_ab.py);
                                           # overrides fast_select, requires
                                           # unroll_w=True
+    icdf_noise: Optional[bool] = None,    # erfinv-ICDF normals instead of
+                                          # Box-Muller (None = production
+                                          # default, PRNG mode only; see
+                                          # _icdf_normals / DESIGN item 19)
+    approx_recip: Optional[bool] = None,  # hardware fast reciprocal on the
+                                          # rollout mass-matrix divide
+                                          # (None = on for PRNG mode; the
+                                          # injected-eps seam keeps exact)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
@@ -717,11 +776,29 @@ def pallas_solve_batched(
         if not unroll_w:
             raise ValueError("packed_select requires unroll_w=True")
         fast_select = False          # packed replaces the selection metric
+    if icdf_noise is None:
+        # OPT-IN, not default (round-5 measurement, DESIGN item 19): the
+        # erfinv-ICDF draw alone measured only ~1.03x median on the fused
+        # loop (within day noise) and CANCELS approx_recip's win when
+        # combined at K=65536 (0.995x vs recip-alone 1.137x, same session)
+        # — the two levers contend for the same special-function issue
+        # slots.  Box-Muller stays the production draw.
+        icdf_noise = False
+    elif icdf_noise and not use_prng:
+        raise ValueError("icdf_noise applies to PRNG mode only")
+    if approx_recip is None:
+        # Production default (round 5, DESIGN item 19): 1.10-1.14x at
+        # K=65536 across three same-session A/Bs, neutral on the fused
+        # loop, tracking in-family.  PRNG mode only — the injected-eps
+        # parity seam keeps exact division for bitwise pallas-vs-XLA
+        # agreement, same contract as fast_select/trig_carry.
+        approx_recip = use_prng
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
         emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,
         unroll_t=unroll_t, unroll_w=unroll_w, trig_carry=trig_carry,
-        fast_select=fast_select, packed_select=packed_select)
+        fast_select=fast_select, packed_select=packed_select,
+        icdf_noise=icdf_noise, approx_recip=approx_recip)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -802,6 +879,8 @@ def pallas_solve_core(
     fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
                                           # (None = on for PRNG mode only)
     packed_select: bool = False,          # packed-argmin tournament A/B
+    icdf_noise: Optional[bool] = None,    # see pallas_solve_batched
+    approx_recip: Optional[bool] = None,  # see pallas_solve_batched
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
@@ -817,6 +896,7 @@ def pallas_solve_core(
         interpret=interpret, tile=tile, emit_eps=emit_eps,
         fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
         trig_carry=trig_carry, fast_select=fast_select,
-        packed_select=packed_select,
+        packed_select=packed_select, icdf_noise=icdf_noise,
+        approx_recip=approx_recip,
     )
     return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

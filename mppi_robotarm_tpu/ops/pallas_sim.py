@@ -66,6 +66,7 @@ from .pallas_rollout import (
     _box_muller,
     _dynamics_step,
     _dynamics_step_trig,
+    _icdf_normals,
     _pick_tile,
     _tracking_cost,
 )
@@ -259,6 +260,8 @@ def _sim_kernel(
     group: int = 1,
     fast_select: bool = False,
     packed_select: bool = False,
+    icdf_noise: bool = False,
+    approx_recip: bool = False,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
@@ -340,7 +343,8 @@ def _sim_kernel(
                 # are not bit-continuable across the upgrade (injected-eps
                 # replay is version-stable; see PARITY.md changelog).
                 pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
-                z1, z2 = _box_muller((T * sub, _LANES))
+                z1, z2 = (_icdf_normals if icdf_noise
+                          else _box_muller)((T * sub, _LANES))
                 eps_buf[g, pl.ds(0, T)] = \
                     (l11 * z1).reshape(T, sub, _LANES)
                 eps_buf[g, pl.ds(T, T)] = \
@@ -410,7 +414,8 @@ def _sim_kernel(
                 c2 = c12 * c1 + s12 * s1v
                 s2v = s12 * c1 - c12 * s1v
                 q1, q2, dq1, dq2 = _dynamics_step_trig(
-                    q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12)
+                    q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12,
+                    approx_recip=approx_recip)
                 c1 = jnp.cos(q1)
                 s1v = jnp.sin(q1)
                 q12 = q1 + q2
@@ -565,6 +570,8 @@ def _sim_kernel_stacked(
     group: int = 1,
     fast_select: bool = False,
     packed_select: bool = False,
+    icdf_noise: bool = False,
+    approx_recip: bool = False,
 ):
     """SUBLANE-STACKED variant of :func:`_sim_kernel` for K ≤ 128 fleets.
 
@@ -695,7 +702,8 @@ def _sim_kernel_stacked(
             e2acc = jnp.zeros((T, S, _LANES), jnp.float32)
             for g in range(S):
                 pltpu.prng_seed(seed_ref[g, 0, 0], seed_ref[g, 0, 1] + step)
-                z1, z2 = _box_muller((T, _LANES))
+                z1, z2 = (_icdf_normals if icdf_noise
+                          else _box_muller)((T, _LANES))
                 m3 = rowmask[g][None]
                 e1acc = jnp.where(m3, (l11 * z1)[:, None, :], e1acc)
                 e2acc = jnp.where(m3, (l21 * z1 + l22 * z2)[:, None, :],
@@ -740,7 +748,8 @@ def _sim_kernel_stacked(
             c2 = c12 * c1 + s12 * s1v
             s2v = s12 * c1 - c12 * s1v
             q1, q2, dq1, dq2 = _dynamics_step_trig(
-                q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12)
+                q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12,
+                approx_recip=approx_recip)
             c1 = jnp.cos(q1)
             s1v = jnp.sin(q1)
             q12 = q1 + q2
@@ -853,6 +862,11 @@ def pallas_sim_run_batched(
     packed_select: bool = False,         # packed-argmin tournament A/B
                                          # (tools/tpu_tournament_ab.py);
                                          # overrides fast_select
+    icdf_noise: Optional[bool] = None,   # erfinv-ICDF normals (None =
+                                         # production default, PRNG mode)
+    approx_recip: Optional[bool] = None,  # fast reciprocal on the rollout
+                                          # divide (None = PRNG mode only;
+                                          # the plant step stays exact)
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -889,6 +903,13 @@ def pallas_sim_run_batched(
         fast_select = use_prng
     if packed_select:
         fast_select = False          # packed replaces the selection metric
+    if icdf_noise is None:
+        icdf_noise = False           # opt-in only — see pallas_solve_batched
+    elif icdf_noise and not use_prng:
+        raise ValueError("icdf_noise applies to PRNG mode only")
+    if approx_recip is None:
+        approx_recip = use_prng      # production default (DESIGN item 19);
+                                     # injected-eps seam keeps exact divide
     if B % group:
         raise ValueError(f"B={B} is not divisible by group={group}")
     G = group
@@ -936,7 +957,8 @@ def pallas_sim_run_batched(
             _sim_kernel_stacked, arm=arm, cfg=cfg, sim=sim,
             n_steps=n_steps, tile=tile, use_prng=use_prng,
             unroll_t=unroll_t, group=G, fast_select=fast_select,
-            packed_select=packed_select)
+            packed_select=packed_select, icdf_noise=icdf_noise,
+            approx_recip=approx_recip)
         u0_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -959,7 +981,8 @@ def pallas_sim_run_batched(
         kernel = functools.partial(
             _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps,
             tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G,
-            fast_select=fast_select, packed_select=packed_select)
+            fast_select=fast_select, packed_select=packed_select,
+            icdf_noise=icdf_noise, approx_recip=approx_recip)
         u0_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)
         ufin_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
@@ -1026,6 +1049,8 @@ def pallas_sim_run(
     step0=None,                          # () int32 absolute step at entry
     fast_select: Optional[bool] = None,  # see pallas_sim_run_batched
     packed_select: bool = False,
+    icdf_noise: Optional[bool] = None,
+    approx_recip: Optional[bool] = None,
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -1041,5 +1066,6 @@ def pallas_sim_run(
         eps=None if eps is None else jnp.asarray(eps)[None],
         interpret=interpret, unroll_t=unroll_t,
         step0=None if step0 is None else jnp.asarray(step0).reshape(1),
-        group=1, fast_select=fast_select, packed_select=packed_select)
+        group=1, fast_select=fast_select, packed_select=packed_select,
+        icdf_noise=icdf_noise, approx_recip=approx_recip)
     return rec[0], ufin[0]

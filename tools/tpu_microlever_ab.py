@@ -1,0 +1,179 @@
+"""On-chip A/B of two round-5 micro-levers, now production kernel options.
+
+1. **approx_recip** — every rollout step's 2x2 analytic inverse serializes
+   through ``inv_det = 1/(m11·m22 − m12²)``; `pl.reciprocal(approx=True)`
+   emits the hardware fast-reciprocal (~1.5e-5 relative) instead of the
+   Newton-refined divide, shortening the CRITICAL chain of the
+   latency-bound fused loop.  Vector/rollout only — the plant step and the
+   injected-eps parity seam keep exact division.
+2. **icdf_noise** — `z = √2·erfinv(x)` needs ONE transcendental per normal
+   vs Box-Muller's 4 per pair (log, sqrt, cos, sin).  Symmetric 24-bit-grid
+   x (never ±1 — the naive ``2u−1`` rounds its top bin to exactly 1.0 and
+   erf_inv(1.0) = inf, measured as a NaN tracking run).  Tail reach
+   5.42σ (vs BM's 5.9σ, ~6e-8 truncated mass); moments asserted below.
+
+Both are plumbed as pallas_solve_*/pallas_sim_* options; this tool A/Bs
+the four combinations through those entry points in both production
+regimes and reports tracking quality alongside.
+
+    python tools/tpu_microlever_ab.py [fused|solve|all] [variant,names]
+"""
+
+import dataclasses
+import json
+import math
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mppi_robotarm_tpu.utils.cache import enable_persistent_cache
+
+enable_persistent_cache()
+
+from mppi_robotarm_tpu.config import ArmParams, MPPIConfig, SimConfig  # noqa: E402
+from mppi_robotarm_tpu.ops import pallas_rollout as pr  # noqa: E402
+from mppi_robotarm_tpu.ops import pallas_sim as ps  # noqa: E402
+from mppi_robotarm_tpu.ops.waypoint import slice_window  # noqa: E402
+from mppi_robotarm_tpu.sim.paths import synth_circle_path  # noqa: E402
+
+
+def timeit(fn, reps=6):
+    jax.block_until_ready(fn())
+    best = np.inf
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+# (name, icdf_noise, approx_recip) -> the production kernel options
+VARIANTS = (("orig", False, False),
+            ("recip_approx", False, True),
+            ("icdf_normal", True, False),
+            ("both", True, True))
+
+
+def main():
+    global VARIANTS
+    section = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if len(sys.argv) > 2:     # comma-separated variant filter (chip budget)
+        keep = set(sys.argv[2].split(","))
+        VARIANTS = tuple(v for v in VARIANTS if v[0] in keep)
+    print("devices:", jax.devices(), flush=True)
+    arm, sim = ArmParams(), SimConfig()
+    ref = jnp.asarray(synth_circle_path(8000))
+    ref_np = np.asarray(ref)
+    out = {}
+
+    # ---- icdf moments (K=8192, one solve) ---------------------------------
+    cfg8 = dataclasses.replace(MPPIConfig(), num_samples=8192, horizon=50)
+    window8, valid8 = slice_window(ref, 0, cfg8.search_idx_len)
+    nvalid8 = jnp.asarray([np.float32(np.asarray(valid8).sum())])
+    x0b = jnp.asarray([[1.1522, -1.2661, 0.0, 0.0]], jnp.float32)
+    u8 = jnp.tile(jnp.asarray(cfg8.warm_start, jnp.float32),
+                  (1, cfg8.horizon, 1))
+    _, _, eps, _ = pr.pallas_solve_batched(
+        arm, cfg8, x0b, u8, window8[None], nvalid8,
+        seed=jnp.asarray([3], jnp.int32), emit_eps=True, icdf_noise=True)
+    e = np.asarray(eps).reshape(-1, 2)
+    mu, sd = e.mean(axis=0), e.std(axis=0)
+    print(f"icdf moments: mean {mu}, std {sd} "
+          f"(expect ~0, ~{math.sqrt(20.0):.3f}); |z|max "
+          f"{np.abs(e).max() / math.sqrt(20.0):.2f} sigma (cap 5.42)",
+          flush=True)
+    sd_exp = np.sqrt(np.diag(np.asarray(cfg8.sigma)))
+    assert np.isfinite(e).all()
+    assert np.all(np.abs(mu) < 0.1) and np.allclose(sd, sd_exp, rtol=0.05), \
+        (mu, sd)
+
+    # ---- fused whole-loop kernel ------------------------------------------
+    if section in ("all", "fused"):
+        cfg1k = dataclasses.replace(MPPIConfig(), num_samples=1024,
+                                    horizon=50)
+        q0 = jnp.asarray([1.1522, -1.2661], jnp.float32)
+        dq0 = jnp.zeros(2, jnp.float32)
+        up = jnp.tile(jnp.asarray(cfg1k.warm_start, jnp.float32),
+                      (cfg1k.horizon, 1))
+
+        def make_run(n, icdf, recip):
+            def run():
+                return ps.pallas_sim_run(arm, cfg1k, sim, ref, q0, dq0, up,
+                                         0, jnp.asarray(7, jnp.int32), n,
+                                         unroll_t=True, icdf_noise=icdf,
+                                         approx_recip=recip)
+            return jax.jit(run)
+
+        def onpath_mean_mm(rec):
+            q1, q2 = rec[:, 0], rec[:, 1]
+            x = np.cos(q1) + np.cos(q1 + q2)
+            y = np.sin(q1) + np.sin(q1 + q2)
+            d = np.sqrt((x[:, None] - ref_np[None, :, 0]) ** 2
+                        + (y[:, None] - ref_np[None, :, 1]) ** 2).min(axis=1)
+            return float(d.mean() * 1e3)
+
+        resf = {}
+        for name, icdf, recip in VARIANTS:
+            t4k = timeit(make_run(4000, icdf, recip))
+            t1k = timeit(make_run(1000, icdf, recip))
+            t_step = (t4k - t1k) / 3000
+            rec, _ = jax.block_until_ready(make_run(4000, icdf, recip)())
+            err = onpath_mean_mm(np.asarray(rec)[:1500])
+            resf[name] = (t_step, err)
+            print(f"fused K=1024 {name}: {t_step * 1e6:.2f} us/step "
+                  f"device, on-path {err:.2f} mm", flush=True)
+        if "orig" in resf:
+            out["fused_K1024"] = {
+                n: {"us_per_step": round(v[0] * 1e6, 2),
+                    "onpath_mm": round(v[1], 2),
+                    "speedup": round(resf["orig"][0] / v[0], 3)}
+                for n, v in resf.items()}
+
+    # ---- per-step solve kernel, K=65536 (chained two-length fit) ----------
+    if section in ("all", "solve"):
+        cfg = dataclasses.replace(MPPIConfig(), num_samples=65536,
+                                  horizon=50)
+        window65, valid65 = slice_window(ref, 0, cfg.search_idx_len)
+        nvalid65 = jnp.sum(valid65.astype(jnp.float32))
+        x0s = jnp.asarray([1.1522, -1.2661, 0.0, 0.0], jnp.float32)
+        u0 = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32),
+                      (cfg.horizon, 1))
+
+        def make_chain(n, icdf, recip):
+            def chain():
+                def body(c, _):
+                    u_c, seed_c = c
+                    w_eps, s, _ = pr.pallas_solve_core(
+                        arm, cfg, x0s, u_c, window65, nvalid65, seed=seed_c,
+                        step=seed_c, fuse_update=True, emit_eps=False,
+                        unroll_t=True, icdf_noise=icdf, approx_recip=recip)
+                    return (w_eps, seed_c + 1), s[0:8]
+                (u_f, _), ss = jax.lax.scan(
+                    body, (u0, jnp.asarray(0, jnp.int32)), None, length=n)
+                return u_f, ss
+            return jax.jit(chain)
+
+        ress = {}
+        for name, icdf, recip in VARIANTS:
+            t64 = timeit(make_chain(64, icdf, recip))
+            t16 = timeit(make_chain(16, icdf, recip))
+            t = (t64 - t16) / 48
+            ress[name] = t
+            print(f"solve K=65536 {name}: {t * 1e6:.1f} us/solve device "
+                  f"({1 / t:,.0f} solves/s)", flush=True)
+        if "orig" in ress:
+            out["solve_K65536"] = {
+                n: {"us_per_solve": round(v * 1e6, 1),
+                    "speedup": round(ress["orig"] / v, 3)}
+                for n, v in ress.items()}
+
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
