@@ -25,8 +25,9 @@ python tools/tpu_tournament_ab.py
 python tools/tpu_noise_ab.py
 echo "=== TPU-only pytest assertions (seed space / PRNG statistics) ==="
 # these two skip on CPU (hardware PRNG) and run NOWHERE else (round-4
-# VERDICT weak #3) — execute them here, on the chip, with skips forbidden
-python -m pytest tests/test_pallas.py \
+# VERDICT weak #3) — execute them here, on the chip, with skips forbidden.
+# MPPI_TEST_TPU=1 stops conftest.py from pinning the CPU backend.
+MPPI_TEST_TPU=1 python -m pytest tests/test_pallas.py \
     -k "prng_mode_statistics or seed_space" -v -rs \
     | tee /dev/stderr | grep -q "2 passed" || echo "PYTEST STAGE FAILED"
 echo "=== bench-config tracking spread (gate calibration source) ==="
