@@ -1,39 +1,81 @@
 #!/bin/bash
-# Full on-chip validation battery (takes the chip exclusively; ~15 min warm).
-# If a stage sits silent >8 min at ~3s CPU, kill its PID and rerun — this
-# environment wedges ~1 in 3 process starts (see .claude/skills/verify).
+# Full on-chip validation battery (takes the chip exclusively; ~30 min warm).
+# Every stage runs under `timeout` with ONE automatic retry: this
+# environment wedges ~1 in 3 python process starts before device init
+# (see .claude/skills/verify), and an unguarded wedge used to stall the
+# whole battery.  A stage that fails twice is reported and the battery
+# continues — the summary line at the end lists failed stages.
 set -u
 cd "$(dirname "$0")/.."
-echo "=== kernel parity + PRNG + latency sweep ==="
-python tools/tpu_validate.py
-echo "=== extreme shapes (tile-picker allocation check) ==="
-python tools/tpu_extreme_shapes.py
-echo "=== fused-vs-per-step long-run discrete parity ==="
-python tools/tpu_fused_longrun.py 150
-echo "=== batch throughput (config 4) ==="
-python tools/tpu_bench_batch.py 1024 1024 30
-echo "=== sharded on-chip bitwise (1x1-mesh production programs) ==="
-python tools/tpu_sharded_onchip.py
-echo "=== stacked-vs-interleaved kernel bitwise (PRNG mode) ==="
-python tools/tpu_stacked_bitwise.py
-echo "=== round-4 optimization A/Bs (trig carry / fast_select) ==="
-python tools/tpu_trig_ab.py
-python tools/tpu_fastsel_ab.py
-python tools/tpu_fused_fastsel_ab.py
-echo "=== round-5 A/Bs (packed-argmin tournament / noise generation) ==="
-python tools/tpu_tournament_ab.py
-python tools/tpu_noise_ab.py
+
+FAILED=""
+
+stage() {
+    local name="$1"; shift
+    local tmo="$1"; shift
+    echo "=== $name ==="
+    if timeout "$tmo" "$@"; then
+        return 0
+    fi
+    echo "--- stage '$name' failed/timed out (rc=$?), retrying once ---"
+    if timeout "$tmo" "$@"; then
+        return 0
+    fi
+    echo "--- stage '$name' FAILED twice ---"
+    FAILED="$FAILED '$name'"
+}
+
+stage "kernel parity + PRNG + latency sweep" 600 \
+    python tools/tpu_validate.py
+stage "extreme shapes (tile-picker allocation check)" 600 \
+    python tools/tpu_extreme_shapes.py
+stage "fused-vs-per-step long-run discrete parity" 600 \
+    python tools/tpu_fused_longrun.py 150
+stage "batch throughput (config 4)" 600 \
+    python tools/tpu_bench_batch.py 1024 1024 30
+stage "sharded on-chip bitwise (1x1-mesh production programs)" 600 \
+    python tools/tpu_sharded_onchip.py
+stage "stacked-vs-interleaved kernel bitwise (PRNG mode)" 600 \
+    python tools/tpu_stacked_bitwise.py
+stage "round-4 A/B: trig carry" 600 python tools/tpu_trig_ab.py
+stage "round-4 A/B: fast_select (per-step)" 600 python tools/tpu_fastsel_ab.py
+stage "round-4 A/B: fast_select (fused loop)" 600 \
+    python tools/tpu_fused_fastsel_ab.py
+stage "round-5 A/B: packed-argmin tournament" 600 \
+    python tools/tpu_tournament_ab.py
+stage "round-5 A/B: noise generation (solve)" 600 \
+    python tools/tpu_noise_ab.py solve
+stage "round-5 A/B: noise generation (fused)" 600 \
+    python tools/tpu_noise_ab.py fused
+stage "round-5 A/B: micro-levers (recip/icdf, fused)" 600 \
+    python tools/tpu_microlever_ab.py fused
+stage "round-5 A/B: micro-levers (recip/icdf, solve)" 600 \
+    python tools/tpu_microlever_ab.py solve
+
+# the two TPU-only pytest tests skip on CPU (hardware PRNG) and run NOWHERE
+# else (round-4 VERDICT weak #3) — execute them here, on the chip, with
+# skips forbidden.  MPPI_TEST_TPU=1 stops conftest.py pinning CPU.
 echo "=== TPU-only pytest assertions (seed space / PRNG statistics) ==="
-# these two skip on CPU (hardware PRNG) and run NOWHERE else (round-4
-# VERDICT weak #3) — execute them here, on the chip, with skips forbidden.
-# MPPI_TEST_TPU=1 stops conftest.py from pinning the CPU backend.
-MPPI_TEST_TPU=1 python -m pytest tests/test_pallas.py \
-    -k "prng_mode_statistics or seed_space" -v -rs \
-    | tee /dev/stderr | grep -q "2 passed" || echo "PYTEST STAGE FAILED"
-echo "=== bench-config tracking spread (gate calibration source) ==="
-python tools/tpu_bench_gate_sweep.py 4
-python tools/tpu_bench_gate_sweep.py 4 high_accuracy
-echo "=== config-4 scenario scale (B=32768, auto-chunked records) ==="
-python tools/tpu_bench_batch.py 32768 128 30
-echo "=== headline bench ==="
-python bench.py
+if ! MPPI_TEST_TPU=1 timeout 600 python -m pytest tests/test_pallas.py \
+        -k "prng_mode_statistics or seed_space" -v -rs \
+        | tee /dev/stderr | grep -q "2 passed"; then
+    echo "--- retrying TPU pytest stage ---"
+    MPPI_TEST_TPU=1 timeout 600 python -m pytest tests/test_pallas.py \
+        -k "prng_mode_statistics or seed_space" -v -rs \
+        | tee /dev/stderr | grep -q "2 passed" \
+        || FAILED="$FAILED 'tpu-pytest'"
+fi
+
+stage "bench-config tracking spread (gate calibration source)" 600 \
+    python tools/tpu_bench_gate_sweep.py 4
+stage "high-accuracy tracking spread (gate calibration source)" 600 \
+    python tools/tpu_bench_gate_sweep.py 4 high_accuracy
+stage "config-4 scenario scale (B=32768, auto-chunked records)" 600 \
+    python tools/tpu_bench_batch.py 32768 128 30
+stage "headline bench" 600 python bench.py
+
+if [ -n "$FAILED" ]; then
+    echo "BATTERY INCOMPLETE — failed stages:$FAILED"
+    exit 1
+fi
+echo "BATTERY COMPLETE — all stages passed"
