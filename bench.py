@@ -160,12 +160,14 @@ def main() -> None:
     # ---- high-accuracy tracking run (round-5 VERDICT item 1) --------------
     # Same shape (K=1024, H=50, 8000-pt path, 4000-step chain), controller
     # delta_t matched to the plant (high_accuracy_preset, the round-4 Q2
-    # mechanism isolation).  Gate calibrated from the 8-seed on-chip sweep
-    # at THIS configuration (tools/tpu_bench_gate_sweep.py 8 high_accuracy,
-    # 2026-08-21): spread 4.1-11.9 mm, mean 7.0 — vs the parity semantics'
-    # 8.4-31.7 / 21.0 at the same shape, and the reference loop's measured
-    # 10.8 mm at its own config (BASELINE.md).
-    HA_GATE_MM = 16.0     # max of the 8-seed sweep (11.9) + 30% margin
+    # mechanism isolation).  Gate calibrated from on-chip seed sweeps at
+    # THIS configuration (tools/tpu_bench_gate_sweep.py N high_accuracy,
+    # 2026-08-21): 8 seeds pre-approx_recip spread 4.1-11.9 mm mean 7.0;
+    # 4 seeds WITH the round-5 approx_recip production default spread
+    # 3.7-13.8 mm mean 8.1 — vs the parity semantics' 8.4-31.7 / 21.0 at
+    # the same shape, and the reference loop's measured 10.8 mm at its own
+    # config (BASELINE.md).
+    HA_GATE_MM = 18.0     # max observed (13.8, post-recip sweep) + 30%
     ha_mm = None
     if not first_only:
         try:

@@ -13,15 +13,18 @@ FAILED=""
 stage() {
     local name="$1"; shift
     local tmo="$1"; shift
+    local rc
     echo "=== $name ==="
-    if timeout "$tmo" "$@"; then
+    timeout "$tmo" "$@"; rc=$?
+    if [ "$rc" -eq 0 ]; then
         return 0
     fi
-    echo "--- stage '$name' failed/timed out (rc=$?), retrying once ---"
-    if timeout "$tmo" "$@"; then
+    echo "--- stage '$name' failed/timed out (rc=$rc), retrying once ---"
+    timeout "$tmo" "$@"; rc=$?
+    if [ "$rc" -eq 0 ]; then
         return 0
     fi
-    echo "--- stage '$name' FAILED twice ---"
+    echo "--- stage '$name' FAILED twice (rc=$rc) ---"
     FAILED="$FAILED '$name'"
 }
 
