@@ -32,8 +32,11 @@ def main():
           + 0.02 * jax.random.normal(jax.random.PRNGKey(1), (b, 2)))
     states = m.init_sim_batch(cfg, sim, keys, q0=q0)
 
+    # the fused pallas backend needs the hardware PRNG (TPU only); the
+    # portable XLA path runs the same scenarios anywhere else
+    backend = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
     final, rec = m.simulate_batch(arm, cfg, sim, ref, states, steps,
-                                  backend="pallas")
+                                  backend=backend)
     jax.block_until_ready(rec.q)
 
     ee = np.asarray(rec.ee[-1])                     # (B, 2) at final step

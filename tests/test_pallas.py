@@ -461,6 +461,40 @@ def test_fast_select_requires_unrolled_window(ref_path):
                       eps=eps, interpret=True, unroll_w=False)
 
 
+def test_round5_option_plumbing(ref_path):
+    """The round-5 kernel options stay wired and validated: icdf_noise is
+    PRNG-mode-only (ValueError with injected eps), explicit approx_recip
+    in eps mode still lowers in interpret mode (exact-divide default is
+    separately pinned bitwise by the parity tests).  The PRNG-mode icdf
+    path cannot execute on CPU at all (prng_seed has no CPU lowering);
+    its execution and statistics are asserted on-chip in
+    tools/tpu_microlever_ab.py and the AOT TPU-lowering test below."""
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=128, horizon=4)
+    window, valid = slice_window(jnp.asarray(ref_path, jnp.float32), 0, 30)
+    nvalid = jnp.asarray(np.float32(np.asarray(valid).sum()))
+    u = jnp.zeros((4, 2), jnp.float32)
+    eps = jnp.zeros((128, 4, 2), jnp.float32)
+    with pytest.raises(ValueError, match="PRNG mode"):
+        pallas_solve_core(ARM, cfg, jnp.asarray(X0), u, window, nvalid,
+                          eps=eps, interpret=True, icdf_noise=True)
+    # explicit approx_recip with injected eps: allowed override, must run
+    w_a, s_a, _ = pallas_solve_core(ARM, cfg, jnp.asarray(X0), u, window,
+                                    nvalid, eps=eps, interpret=True,
+                                    approx_recip=True)
+    assert np.isfinite(np.asarray(s_a)).all()
+    # PRNG mode + icdf: Mosaic cross-lowering must accept erf_inv
+    # (x64 off for jax.export, as in test_mosaic_lowering_aot)
+    jax.config.update("jax_enable_x64", False)
+    try:
+        f = lambda x0, u_, s_: pallas_solve_core(
+            ARM, cfg, x0, u_, window.astype(jnp.float32),
+            jnp.float32(30.0), seed=s_, icdf_noise=True)
+        jax.export.export(jax.jit(f), platforms=["tpu"])(
+            jnp.zeros(4), jnp.zeros((4, 2)), jnp.asarray(0, jnp.int32))
+    finally:
+        jax.config.update("jax_enable_x64", True)
+
+
 def test_unmasked_window_scan_bitwise(ref_path, rng):
     """The unmasked tournament scan (round-3 default) is BIT-IDENTICAL to
     the masked one, including truncated windows at the path end: clamped
