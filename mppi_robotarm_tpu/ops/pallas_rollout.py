@@ -216,6 +216,12 @@ def _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid, w0, w1, w2, w3,
         # (production path).  Measured on-chip vs the 5-tuple tournament
         # in tools/tpu_tournament_ab.py — see DESIGN.md for the verdict.
         assert unroll and not masked, "packed_select is unrolled+unmasked only"
+        # 5 index bits: row j >= 32 would overflow into the preserved
+        # distance bits AND alias (idx & 31) back onto an earlier row —
+        # silently wrong selection, so hard-stop (also validated at the
+        # entry points)
+        assert window_len <= 32, \
+            f"packed_select supports window_len <= 32, got {window_len}"
 
         def pleaf(j):
             dx = x - win_ref[j, 0]
@@ -775,6 +781,10 @@ def pallas_solve_batched(
     if packed_select:
         if not unroll_w:
             raise ValueError("packed_select requires unroll_w=True")
+        if cfg.search_idx_len > 32:
+            raise ValueError(
+                f"packed_select packs the window-row index into 5 bits and "
+                f"supports search_idx_len <= 32 (got {cfg.search_idx_len})")
         fast_select = False          # packed replaces the selection metric
     if icdf_noise is None:
         # OPT-IN, not default (round-5 measurement, DESIGN item 19): the
@@ -875,7 +885,8 @@ def pallas_solve_core(
     unroll_t: bool = False,               # fully unroll horizon/acc loops
     unroll_w: bool = True,                # fully unroll the waypoint window loop
     trig_carry: Optional[bool] = None,    # carry FK sin/cos into the dynamics
-                                          # (None = auto by tile size)
+                                          # (None = PRNG mode AND large tile;
+                                          # injected-eps replays stay bitwise)
     fast_select: Optional[bool] = None,   # reduced waypoint-selection metric
                                           # (None = on for PRNG mode only)
     packed_select: bool = False,          # packed-argmin tournament A/B

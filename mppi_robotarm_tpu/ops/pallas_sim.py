@@ -902,6 +902,10 @@ def pallas_sim_run_batched(
     if fast_select is None:
         fast_select = use_prng
     if packed_select:
+        if cfg.search_idx_len > 32:
+            raise ValueError(
+                f"packed_select packs the window-row index into 5 bits and "
+                f"supports search_idx_len <= 32 (got {cfg.search_idx_len})")
         fast_select = False          # packed replaces the selection metric
     if icdf_noise is None:
         icdf_noise = False           # opt-in only — see pallas_solve_batched

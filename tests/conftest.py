@@ -16,7 +16,10 @@ applied even when pytest ran on a TPU host).
 import os
 import sys
 
-_TPU = bool(os.environ.get("MPPI_TEST_TPU"))
+# conventional falsy spellings stay CPU ("MPPI_TEST_TPU=0" must not flip
+# the suite onto the chip with x64 off — reviewer finding)
+_TPU = os.environ.get("MPPI_TEST_TPU", "").lower() not in ("", "0", "false",
+                                                           "no")
 if not _TPU:
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
     _flags = os.environ.get("XLA_FLAGS", "")

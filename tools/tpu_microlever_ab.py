@@ -40,6 +40,7 @@ from mppi_robotarm_tpu.ops import pallas_rollout as pr  # noqa: E402
 from mppi_robotarm_tpu.ops import pallas_sim as ps  # noqa: E402
 from mppi_robotarm_tpu.ops.waypoint import slice_window  # noqa: E402
 from mppi_robotarm_tpu.sim.paths import synth_circle_path  # noqa: E402
+from tools.tpu_window_sweep import onpath_mm_from_kernel_rec  # noqa: E402
 
 
 def timeit(fn, reps=6):
@@ -123,7 +124,8 @@ def main():
             t1k = timeit(make_run(1000, icdf, recip))
             t_step = (t4k - t1k) / 3000
             rec, _ = jax.block_until_ready(make_run(4000, icdf, recip)())
-            err = onpath_mean_mm(np.asarray(rec)[:1500])
+            err = onpath_mm_from_kernel_rec(np.asarray(rec),
+                                            ref_np[:, 0:2])
             resf[name] = (t_step, err)
             print(f"fused K=1024 {name}: {t_step * 1e6:.2f} us/step "
                   f"device, on-path {err:.2f} mm", flush=True)

@@ -49,6 +49,7 @@ from mppi_robotarm_tpu.ops import pallas_sim as ps  # noqa: E402
 from mppi_robotarm_tpu.ops.pallas_rollout import pallas_solve_batched  # noqa: E402
 from mppi_robotarm_tpu.ops.waypoint import slice_window  # noqa: E402
 from mppi_robotarm_tpu.sim.paths import synth_circle_path  # noqa: E402
+from tools.tpu_window_sweep import onpath_mm_from_kernel_rec  # noqa: E402
 
 
 def timeit(fn, reps=3):
@@ -75,21 +76,14 @@ def fused_loop_ab(arm, sim, ref, ref_np, out):
                 packed_select=packed)
         return jax.jit(run)
 
-    def onpath_mean_mm(rec):
-        q1, q2 = rec[:, 0], rec[:, 1]
-        x = np.cos(q1) + np.cos(q1 + q2)
-        y = np.sin(q1) + np.sin(q1 + q2)
-        d = np.sqrt((x[:, None] - ref_np[None, :, 0]) ** 2
-                    + (y[:, None] - ref_np[None, :, 1]) ** 2).min(axis=1)
-        return float(d.mean() * 1e3)
-
     res = {}
     for packed in (False, True):
         f4k, f1k = make_run(4000, packed), make_run(1000, packed)
         t4k, t1k = timeit(f4k), timeit(f1k)
         t_step = (t4k - t1k) / 3000
         rec, _ = jax.block_until_ready(f4k())
-        err = onpath_mean_mm(np.asarray(rec)[:1500])
+        err = onpath_mm_from_kernel_rec(np.asarray(rec),
+                                            ref_np[:, 0:2])
         res[packed] = (t_step, err)
         name = "packed" if packed else "fast_select(prod)"
         print(f"fused K=1024 {name}: {t_step * 1e6:.2f} us/step device, "

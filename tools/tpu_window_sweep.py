@@ -56,6 +56,20 @@ def onpath_mm(ee: np.ndarray, done: np.ndarray, path_xy: np.ndarray,
     return float(out.mean() * 1e3)
 
 
+def onpath_mm_from_kernel_rec(rec: np.ndarray, path_xy: np.ndarray,
+                              gate_steps: int = 1500) -> float:
+    """:func:`onpath_mm` over raw fused-kernel record rows.
+
+    EE is recomputed from the q lanes (layout-proof, lanes per
+    pallas_sim._REC_LANES); the done flag is lane 7.  Shared by the
+    round-5 A/B tools so every tool gates on the SAME quality metric.
+    """
+    q1, q2 = rec[:, 0], rec[:, 1]
+    ee = np.stack([np.cos(q1) + np.cos(q1 + q2),
+                   np.sin(q1) + np.sin(q1 + q2)], axis=1)
+    return onpath_mm(ee, rec[:, 7] > 0.5, path_xy, gate_steps)
+
+
 def main():
     n_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 1800
