@@ -80,3 +80,36 @@ def test_fused_matches_python_driver_edge_shapes(K, T, W, fw, nref, steps,
                 err_msg=f"q step {i} b={b}")
             assert int(rec[b, i, 6]) == int(r[3]), (
                 f"wp step {i} b={b}: {rec[b, i, 6]} vs {r[3]}")
+
+
+@pytest.mark.parametrize("case", [1, 2, 4])
+def test_selection_variants_agree_on_edge_shapes(case, rng):
+    """fast_select and packed_select reproduce the exact-metric run on the
+    EDGE shapes (truncated windows, K padding, stacked groups, mid-run
+    freeze): the clamped-duplicate-row identity and first-win tie rule
+    must hold for every selection implementation, not just the exact one.
+    (W=33 case excluded for packed — its 5-bit index packing validates
+    search_idx_len <= 32 by design.)"""
+    K, T, W, fw, nref, steps, B, wp0v, group = CASES[case]
+    cfg = dataclasses.replace(MPPIConfig(), num_samples=K, horizon=T,
+                              search_idx_len=W, filter_window=fw)
+    ref = jnp.asarray(np.asarray(m.synth_circle_path(nref)), jnp.float32)
+    eps = (rng.normal(size=(B, steps, K, T, 2)) * np.sqrt(20.0)).astype(
+        np.float32)
+    q0 = (jnp.tile(jnp.asarray([SIM.q0], jnp.float32), (B, 1))
+          + 0.01 * jnp.arange(B)[:, None])
+    up = jnp.tile(jnp.asarray(cfg.warm_start, jnp.float32), (B, T, 1))
+    wp0 = jnp.full((B,), wp0v, jnp.int32)
+    args = (ARM, cfg, SIM, ref, q0, jnp.zeros((B, 2), jnp.float32), up,
+            wp0, jnp.zeros(B, jnp.int32), steps)
+    base, ufin0 = pallas_sim_run_batched(
+        *args, eps=jnp.asarray(eps), interpret=True, unroll_t=True,
+        group=group)
+    for kw in ({"fast_select": True}, {"packed_select": True}):
+        recv, ufinv = pallas_sim_run_batched(
+            *args, eps=jnp.asarray(eps), interpret=True, unroll_t=True,
+            group=group, **kw)
+        np.testing.assert_array_equal(np.asarray(recv), np.asarray(base),
+                                      err_msg=f"records {kw}")
+        np.testing.assert_array_equal(np.asarray(ufinv), np.asarray(ufin0),
+                                      err_msg=f"u_final {kw}")
