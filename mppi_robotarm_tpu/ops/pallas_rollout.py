@@ -156,6 +156,25 @@ def _dynamics_step_trig(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
     return q1 + dq1 * dt, q2 + dq2 * dt, dq1, dq2
 
 
+def _poly_rot(c, s, d):
+    """Rotate the carried (cos, sin) pair by the SMALL angle d.
+
+    cos d and sin d come from 5th/4th-order Maclaurin polynomials —
+    relative error ≤ d⁴/24 (cos) and d⁵/120·(1/d) terms, i.e. ~5e-8 at the
+    rollout's per-step increments d = dq·dt ≲ 0.1 — then one Givens
+    rotation updates the carried pair.  ~20 cheap FMA-class ops replace
+    the 4 transcendental expansions per rollout step (the longest
+    remaining latency links of the fused loop's critical chain after
+    approx_recip, DESIGN item 20).  Error does NOT accumulate across
+    solves: every solve re-derives the carry from the scalar state
+    exactly; within one T≤50-step rollout the drift is ≲ T·d⁵/120.
+    """
+    d2 = d * d
+    cd = 1.0 + d2 * (-0.5 + d2 * (1.0 / 24.0))
+    sd = d * (1.0 + d2 * (-1.0 / 6.0 + d2 * (1.0 / 120.0)))
+    return c * cd - s * sd, s * cd + c * sd
+
+
 def _dynamics_step(q1, q2, dq1, dq2, v1, v2, dt, p: ArmParams,
                    approx_recip: bool = False):
     """Batched semi-implicit Euler step on (S, 128) tiles (control.py:241-259)."""
@@ -398,6 +417,7 @@ def _solve_kernel(
     packed_select: bool = False,
     icdf_noise: bool = False,
     approx_recip: bool = False,
+    poly_trig: bool = False,
 ):
     T = cfg.horizon
     sub = tile // _LANES
@@ -500,11 +520,17 @@ def _solve_kernel(
             q1, q2, dq1, dq2 = _dynamics_step_trig(
                 q1, q2, dq1, dq2, v1, v2, dt, arm, c1, c2, s2v, c12,
                 approx_recip=approx_recip)
-            c1 = jnp.cos(q1)
-            s1v = jnp.sin(q1)
-            q12 = q1 + q2
-            c12 = jnp.cos(q12)
-            s12 = jnp.sin(q12)
+            if poly_trig:
+                # q1n = q1o + dq1n·dt (semi-implicit), so the increment of
+                # each carried angle is exactly the new velocity times dt
+                c1, s1v = _poly_rot(c1, s1v, dq1 * dt)
+                c12, s12 = _poly_rot(c12, s12, (dq1 + dq2) * dt)
+            else:
+                c1 = jnp.cos(q1)
+                s1v = jnp.sin(q1)
+                q12 = q1 + q2
+                c12 = jnp.cos(q12)
+                s12 = jnp.sin(q12)
             x = cfg.l1 * c1 + cfg.l2 * c12
             y = cfg.l1 * s1v + cfg.l2 * s12
             s = s + _tracking_cost(q1, q2, dq1, dq2, win_ref, nvalid,
@@ -672,6 +698,12 @@ def pallas_solve_batched(
                                           # rollout mass-matrix divide
                                           # (None = on for PRNG mode; the
                                           # injected-eps seam keeps exact)
+    poly_trig: Optional[bool] = None,     # incremental-rotation trig on the
+                                          # trig-carry chain (None = on when
+                                          # trig_carry is on, i.e. PRNG mode
+                                          # at large tiles; 1.17x at K=65536
+                                          # — tools/tpu_polytrig_ab.py,
+                                          # DESIGN item 20)
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]:
     """Batched fused solve: grid (B scenarios × K-tiles), one kernel launch.
 
@@ -803,12 +835,21 @@ def pallas_solve_batched(
         # parity seam keeps exact division for bitwise pallas-vs-XLA
         # agreement, same contract as fast_select/trig_carry.
         approx_recip = use_prng
+    if poly_trig is None:
+        # Production default (round 5, DESIGN item 20): the incremental
+        # rotation rides the trig carry, so it inherits trig_carry's
+        # resolved gate (PRNG mode at large tiles).
+        poly_trig = trig_carry and use_prng
+    elif poly_trig and not trig_carry:
+        raise ValueError("poly_trig requires trig_carry=True (the carried "
+                         "sin/cos pair is what the rotation updates)")
     kernel = functools.partial(
         _solve_kernel, arm=arm, cfg=cfg, tile=tile, use_prng=use_prng,
         emit_eps=emit_eps, normalize=normalize, fuse_update=fuse_update,
         unroll_t=unroll_t, unroll_w=unroll_w, trig_carry=trig_carry,
         fast_select=fast_select, packed_select=packed_select,
-        icdf_noise=icdf_noise, approx_recip=approx_recip)
+        icdf_noise=icdf_noise, approx_recip=approx_recip,
+        poly_trig=poly_trig)
     eps_out_rows = 2 * T if emit_eps else 1
     eps_out_sub = sub if emit_eps else 1
 
@@ -892,6 +933,7 @@ def pallas_solve_core(
     packed_select: bool = False,          # packed-argmin tournament A/B
     icdf_noise: Optional[bool] = None,    # see pallas_solve_batched
     approx_recip: Optional[bool] = None,  # see pallas_solve_batched
+    poly_trig: Optional[bool] = None,     # see pallas_solve_batched
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
     """Single-scenario fused solve (B=1 shim over pallas_solve_batched).
 
@@ -908,6 +950,6 @@ def pallas_solve_core(
         fuse_update=fuse_update, unroll_t=unroll_t, unroll_w=unroll_w,
         trig_carry=trig_carry, fast_select=fast_select,
         packed_select=packed_select, icdf_noise=icdf_noise,
-        approx_recip=approx_recip,
+        approx_recip=approx_recip, poly_trig=poly_trig,
     )
     return (w_eps[0], s[0], None if eps_used is None else eps_used[0])

@@ -68,6 +68,7 @@ from .pallas_rollout import (
     _dynamics_step_trig,
     _icdf_normals,
     _pick_tile,
+    _poly_rot,
     _tracking_cost,
 )
 from .noise import sigma_inverse
@@ -262,6 +263,7 @@ def _sim_kernel(
     packed_select: bool = False,
     icdf_noise: bool = False,
     approx_recip: bool = False,
+    poly_trig: bool = False,
 ):
     T = cfg.horizon
     W = cfg.search_idx_len
@@ -416,11 +418,15 @@ def _sim_kernel(
                 q1, q2, dq1, dq2 = _dynamics_step_trig(
                     q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12,
                     approx_recip=approx_recip)
-                c1 = jnp.cos(q1)
-                s1v = jnp.sin(q1)
-                q12 = q1 + q2
-                c12 = jnp.cos(q12)
-                s12 = jnp.sin(q12)
+                if poly_trig:
+                    c1, s1v = _poly_rot(c1, s1v, dq1 * dt_c)
+                    c12, s12 = _poly_rot(c12, s12, (dq1 + dq2) * dt_c)
+                else:
+                    c1 = jnp.cos(q1)
+                    s1v = jnp.sin(q1)
+                    q12 = q1 + q2
+                    c12 = jnp.cos(q12)
+                    s12 = jnp.sin(q12)
                 x = cfg.l1 * c1 + cfg.l2 * c12
                 y = cfg.l1 * s1v + cfg.l2 * s12
                 s = s + _tracking_cost(q1, q2, dq1, dq2, _WinView(win_ref, g),
@@ -572,6 +578,7 @@ def _sim_kernel_stacked(
     packed_select: bool = False,
     icdf_noise: bool = False,
     approx_recip: bool = False,
+    poly_trig: bool = False,
 ):
     """SUBLANE-STACKED variant of :func:`_sim_kernel` for K ≤ 128 fleets.
 
@@ -750,11 +757,15 @@ def _sim_kernel_stacked(
             q1, q2, dq1, dq2 = _dynamics_step_trig(
                 q1, q2, dq1, dq2, v1, v2, dt_c, arm, c1, c2, s2v, c12,
                 approx_recip=approx_recip)
-            c1 = jnp.cos(q1)
-            s1v = jnp.sin(q1)
-            q12 = q1 + q2
-            c12 = jnp.cos(q12)
-            s12 = jnp.sin(q12)
+            if poly_trig:
+                c1, s1v = _poly_rot(c1, s1v, dq1 * dt_c)
+                c12, s12 = _poly_rot(c12, s12, (dq1 + dq2) * dt_c)
+            else:
+                c1 = jnp.cos(q1)
+                s1v = jnp.sin(q1)
+                q12 = q1 + q2
+                c12 = jnp.cos(q12)
+                s12 = jnp.sin(q12)
             x = cfg.l1 * c1 + cfg.l2 * c12
             y = cfg.l1 * s1v + cfg.l2 * s12
             s = s + _tracking_cost(q1, q2, dq1, dq2, win, nv_vec,
@@ -867,6 +878,10 @@ def pallas_sim_run_batched(
     approx_recip: Optional[bool] = None,  # fast reciprocal on the rollout
                                           # divide (None = PRNG mode only;
                                           # the plant step stays exact)
+    poly_trig: Optional[bool] = None,    # incremental-rotation trig (None
+                                         # = production default, PRNG mode;
+                                         # 1.29x on the fused loop —
+                                         # tpu_polytrig_ab.py, DESIGN 20)
 ):
     """Run B scenarios × n_steps closed-loop steps in ONE kernel launch.
 
@@ -914,6 +929,9 @@ def pallas_sim_run_batched(
     if approx_recip is None:
         approx_recip = use_prng      # production default (DESIGN item 19);
                                      # injected-eps seam keeps exact divide
+    if poly_trig is None:
+        poly_trig = use_prng         # production default (DESIGN item 20);
+                                     # the sim kernels always carry trig
     if B % group:
         raise ValueError(f"B={B} is not divisible by group={group}")
     G = group
@@ -962,7 +980,7 @@ def pallas_sim_run_batched(
             n_steps=n_steps, tile=tile, use_prng=use_prng,
             unroll_t=unroll_t, group=G, fast_select=fast_select,
             packed_select=packed_select, icdf_noise=icdf_noise,
-            approx_recip=approx_recip)
+            approx_recip=approx_recip, poly_trig=poly_trig)
         u0_spec = pl.BlockSpec((None, 2 * T, G, _LANES),
                                lambda b: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -986,7 +1004,8 @@ def pallas_sim_run_batched(
             _sim_kernel, arm=arm, cfg=cfg, sim=sim, n_steps=n_steps,
             tile=tile, use_prng=use_prng, unroll_t=unroll_t, group=G,
             fast_select=fast_select, packed_select=packed_select,
-            icdf_noise=icdf_noise, approx_recip=approx_recip)
+            icdf_noise=icdf_noise, approx_recip=approx_recip,
+            poly_trig=poly_trig)
         u0_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM)
         ufin_spec = pl.BlockSpec((G, 2 * T, _LANES), lambda b: (b, 0, 0),
@@ -1055,6 +1074,7 @@ def pallas_sim_run(
     packed_select: bool = False,
     icdf_noise: Optional[bool] = None,
     approx_recip: Optional[bool] = None,
+    poly_trig: Optional[bool] = None,
 ):
     """Run n_steps of the closed loop in one kernel invocation (B=1 shim
     over :func:`pallas_sim_run_batched`).
@@ -1071,5 +1091,6 @@ def pallas_sim_run(
         interpret=interpret, unroll_t=unroll_t,
         step0=None if step0 is None else jnp.asarray(step0).reshape(1),
         group=1, fast_select=fast_select, packed_select=packed_select,
-        icdf_noise=icdf_noise, approx_recip=approx_recip)
+        icdf_noise=icdf_noise, approx_recip=approx_recip,
+        poly_trig=poly_trig)
     return rec[0], ufin[0]
