@@ -789,16 +789,21 @@ def pallas_solve_batched(
         raise ValueError("fuse_update requires normalize=True and "
                          "filter_window <= 2*horizon")
     if trig_carry is None:
-        # Auto: the angle-difference trig carry removes 4 transcendental
-        # expansions per horizon step but lengthens the loop-carried state.
-        # On-chip A/B (tools/tpu_trig_ab.py): 1.049x at sub=64 (K=65536,
-        # throughput-bound) but 0.78x at sub=8 (K=1024, latency-bound —
-        # DESIGN.md item 11), so gate on the measured winner's regime AND on
-        # PRNG mode: the carry differs from the direct form at ulp level
-        # (fp reassociation), and the injected-eps seam's contract is
-        # BITWISE pallas-vs-XLA agreement at every shape — mirroring the
-        # fast_select gate below (round-4 advisor finding).
-        trig_carry = use_prng and (tile // _LANES) >= 32
+        # Auto (PRNG mode only: the carry differs from the direct form at
+        # ulp level, and the injected-eps seam's contract is BITWISE
+        # pallas-vs-XLA agreement at every shape — round-4 advisor).
+        # WITH the incremental-rotation trig riding it (poly_trig, DESIGN
+        # item 20) the carry wins at EVERY tile size — measured 1.53-1.58x
+        # at sub=8 K=1024 (15.1-15.6 -> 9.9 us/solve, two sessions) on top
+        # of the large-tile wins — because the carried pair now ELIMINATES
+        # the per-step transcendentals instead of merely halving them.
+        # WITHOUT poly (explicit poly_trig=False) the round-4 regime gate
+        # stands: 1.049x at sub=64 but 0.78x at sub=8 (carry lengthens the
+        # loop state, tools/tpu_trig_ab.py, DESIGN item 14).
+        if poly_trig is None or poly_trig:
+            trig_carry = use_prng
+        else:
+            trig_carry = use_prng and (tile // _LANES) >= 32
     if fast_select is None:
         # Production (on-chip PRNG) takes the cheaper reassociated selection
         # metric; the injected-eps seam keeps the exact one so pallas-vs-XLA
